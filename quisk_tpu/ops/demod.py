@@ -1,0 +1,139 @@
+"""Demodulators: SSB/CW, AM, FM, and a branch-free mixed-mode batch.
+
+Parity targets in the reference (quisk.c:1848 ``quisk_process_demodulate``):
+
+- SSB/CW (quisk.c:1910-2001): after the analytic channel filter has selected
+  one sideband, audio is a fixed linear combination of Re/Im of the filter
+  output.  The reference uses Re±Im (a 45-degree phase rotation of the same
+  signal); we use 2*Re, identical spectrum and SNR, unity passband gain.
+- AM (quisk.c:2002-2025): envelope |x| followed by a one-pole DC blocker
+  (Lyons p.553).
+- FM (quisk.c:2026-2086): phase-difference discriminator
+  arg(x[n] * conj(x[n-1])) followed by one-pole de-emphasis at 300 Hz.
+
+All demods are elementwise over ``[channels, block]`` — the cheap part of the
+chain — so the mixed-mode batch simply computes every family and selects per
+channel with ``jnp.where`` (branch-free, SURVEY.md §7 "pad-and-select").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+from quisk_tpu.modes import Mode
+from quisk_tpu.ops.iir import DCBlock, OnePole
+
+
+@struct.dataclass
+class SSBDemod:
+    """Analytic-signal SSB/CW demod: audio = 2*Re(x).  Stateless."""
+
+    gain: jnp.ndarray
+
+    @classmethod
+    def create(cls, gain: float = 2.0):
+        return cls(gain=jnp.asarray(gain, jnp.float32))
+
+    def init_state(self, channels: int):
+        return ()
+
+    def __call__(self, state, x: jnp.ndarray):
+        return state, self.gain * jnp.real(x)
+
+
+@struct.dataclass
+class AMDemod:
+    """Envelope detector with DC removal."""
+
+    dc: DCBlock
+    gain: jnp.ndarray
+
+    @classmethod
+    def create(cls, gain: float = 2.0, pole: float = 0.995):
+        return cls(dc=DCBlock.create(pole), gain=jnp.asarray(gain, jnp.float32))
+
+    def init_state(self, channels: int):
+        return self.dc.init_state(channels)
+
+    def __call__(self, state, x: jnp.ndarray):
+        env = jnp.abs(x)
+        state, audio = self.dc(state, env)
+        return state, self.gain * audio
+
+    def envelope(self, x: jnp.ndarray) -> jnp.ndarray:
+        return jnp.abs(x)
+
+
+@struct.dataclass
+class FMDemod:
+    """Phase-difference discriminator with de-emphasis.
+
+    ``gain = fs / (2 pi deviation)`` maps full deviation to audio +-1.
+    State: (prev complex sample [C], de-emphasis y_prev [C]).
+    """
+
+    deemph: OnePole
+    gain: jnp.ndarray
+
+    @classmethod
+    def create(cls, sample_rate: float, deviation_hz: float = 5000.0,
+               deemph_hz: float = 300.0):
+        g = sample_rate / (2.0 * np.pi * deviation_hz)
+        return cls(deemph=OnePole.lowpass(deemph_hz, sample_rate),
+                   gain=jnp.asarray(g, jnp.float32))
+
+    def init_state(self, channels: int):
+        return (jnp.zeros((channels,), jnp.complex64),
+                self.deemph.init_state(channels))
+
+    def discriminate(self, prev: jnp.ndarray, x: jnp.ndarray):
+        xm1 = jnp.concatenate([prev[:, None], x[:, :-1]], axis=-1)
+        d = x * jnp.conj(xm1)
+        disc = jnp.arctan2(jnp.imag(d), jnp.real(d))
+        return x[:, -1], disc
+
+    def __call__(self, state, x: jnp.ndarray):
+        prev, y_prev = state
+        prev, disc = self.discriminate(prev, x)
+        y_prev, audio = self.deemph(y_prev, disc * self.gain)
+        return (prev, y_prev), audio
+
+
+@struct.dataclass
+class MixedDemod:
+    """Per-channel mode selection over a shared ``[C, B]`` batch.
+
+    Every family is computed (they are cheap elementwise/scan ops next to the
+    FIR work) and the per-channel result selected with masks from the int32
+    ``mode`` vector, so one compiled program serves any mode mix — the
+    reference's per-mode C switch (quisk.c:1909-2153) with the branches
+    turned into data.
+    """
+
+    ssb: SSBDemod
+    am: AMDemod
+    fm: FMDemod
+    mode: jnp.ndarray          # [C] int32
+
+    @classmethod
+    def create(cls, mode, sample_rate: float, channels: int,
+               fm_deviation_hz: float = 5000.0):
+        m = jnp.broadcast_to(jnp.asarray(mode, jnp.int32), (channels,))
+        return cls(ssb=SSBDemod.create(), am=AMDemod.create(),
+                   fm=FMDemod.create(sample_rate, fm_deviation_hz), mode=m)
+
+    def init_state(self, channels: int):
+        return (self.am.init_state(channels), self.fm.init_state(channels))
+
+    def __call__(self, state, x: jnp.ndarray):
+        am_st, fm_st = state
+        _, a_ssb = self.ssb((), x)
+        am_st, a_am = self.am(am_st, x)
+        fm_st, a_fm = self.fm(fm_st, x)
+        m = self.mode[:, None]
+        is_am = m == int(Mode.AM)
+        is_fm = m == int(Mode.FM)
+        audio = jnp.where(is_am, a_am, jnp.where(is_fm, a_fm, a_ssb))
+        return (am_st, fm_st), audio

@@ -1,0 +1,182 @@
+"""Streaming FIR filter kernels for ``[channels, block]`` batches.
+
+Two engines, one streaming contract:
+
+- :class:`OverlapSaveFIR` — frequency-domain FIR: FFT the block (plus carried
+  history), multiply by a precomputed frequency mask, IFFT, discard the
+  wrap-around prefix.  This is the TPU-native replacement for both the
+  reference's direct-form channel filters (quisk.c:1182-1256 ``cRxFilterOut``,
+  ring buffers of up to 10001 taps) and WDSP's FIRCORE partitioned
+  overlap-save engine (wdsp/firmin.c:290-435).  The mask is *data*: retuning
+  the filter is an array swap, never a recompile.
+
+- :class:`ConvFIR` — time-domain FIR via ``lax.conv_general_dilated`` with an
+  output stride, used for short anti-alias decimators (the reference's
+  polyphase decimators, filter.c:203-321, and HB45 half-bands,
+  filter.c:377-417).  XLA maps the strided conv onto the MXU.
+
+Both carry the last ``ntaps-1`` input samples across blocks so that streaming
+a signal block-by-block is bit-identical (up to float assoc.) to filtering it
+whole — the property the reference gets from its per-filter ring buffers
+(filter.h:7-9) and that tests/test_streaming.py asserts here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << (n - 1).bit_length()
+
+
+def _as_c64(taps) -> jnp.ndarray:
+    return jnp.asarray(np.asarray(taps), dtype=jnp.complex64)
+
+
+@struct.dataclass
+class OverlapSaveFIR:
+    """Overlap-save frequency-domain FIR, optionally decimating.
+
+    Parameters are shaped ``[nfft]`` (shared across channels) or
+    ``[channels, nfft]`` (per-channel filters, e.g. per-channel bandwidth).
+    """
+
+    mask: jnp.ndarray                                   # [..., nfft] complex64
+    ntaps: int = struct.field(pytree_node=False)
+    block: int = struct.field(pytree_node=False)        # input samples / step
+    nfft: int = struct.field(pytree_node=False)
+    decim: int = struct.field(pytree_node=False, default=1)
+
+    @classmethod
+    def create(cls, taps, block: int, decim: int = 1, nfft: int | None = None):
+        taps = np.atleast_2d(np.asarray(taps))          # [F, T]
+        ntaps = taps.shape[-1]
+        if block % decim:
+            raise ValueError(f"block {block} not divisible by decim {decim}")
+        if nfft is None:
+            nfft = _next_pow2(block + ntaps - 1)
+        if nfft < block + ntaps - 1:
+            raise ValueError("nfft too small for overlap-save validity")
+        mask = jnp.fft.fft(_as_c64(taps), n=nfft, axis=-1)
+        if mask.shape[0] == 1:
+            mask = mask[0]
+        return cls(mask=mask, ntaps=ntaps, block=block, nfft=nfft, decim=decim)
+
+    def retuned(self, taps) -> "OverlapSaveFIR":
+        """Same engine, new taps — an array swap, shapes unchanged."""
+        taps = np.atleast_2d(np.asarray(taps))
+        if taps.shape[-1] != self.ntaps:
+            raise ValueError("retune must keep tap count (shapes are static)")
+        mask = jnp.fft.fft(_as_c64(taps), n=self.nfft, axis=-1)
+        if mask.shape[0] == 1:
+            mask = mask[0]
+        return self.replace(mask=mask)
+
+    def init_state(self, channels: int) -> jnp.ndarray:
+        return jnp.zeros((channels, self.ntaps - 1), dtype=jnp.complex64)
+
+    def __call__(self, hist: jnp.ndarray, x: jnp.ndarray):
+        """hist [C, ntaps-1], x [C, block] -> (hist', y [C, block/decim])."""
+        xe = jnp.concatenate([hist, x.astype(jnp.complex64)], axis=-1)
+        X = jnp.fft.fft(xe, n=self.nfft, axis=-1)
+        y = jnp.fft.ifft(X * self.mask, axis=-1)
+        y = jax.lax.slice_in_dim(y, self.ntaps - 1, self.ntaps - 1 + self.block,
+                                 axis=-1)
+        if self.decim > 1:
+            y = y[..., :: self.decim]
+        new_hist = xe[..., xe.shape[-1] - (self.ntaps - 1):]
+        return new_hist, y
+
+
+def _conv_valid(x: jnp.ndarray, taps: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """Valid-mode streaming convolution.
+
+    x: [C, L] complex64 (or float32), taps: [T] float or complex.
+    Returns y[n] = sum_k taps[k] * x[n*stride + T-1 - k],
+    n = 0 .. (L-T)//stride — i.e. true convolution, fully-overlapped
+    positions only.  Complex I/O is carried as a 2-feature real conv so the
+    MXU sees plain float32 contractions.
+    """
+    T = taps.shape[-1]
+    complex_in = jnp.iscomplexobj(x)
+    complex_taps = jnp.iscomplexobj(taps)
+    # lax.conv computes cross-correlation; reverse taps to convolve.
+    h = taps[::-1]
+    if complex_taps:
+        hr, hi = jnp.real(h).astype(jnp.float32), jnp.imag(h).astype(jnp.float32)
+        # kernel [out=2, in=2, T]: (yr, yi) = (hr xr - hi xi, hi xr + hr xi)
+        kern = jnp.stack([jnp.stack([hr, -hi]), jnp.stack([hi, hr])])
+        xr = jnp.real(x).astype(jnp.float32)
+        xi = jnp.imag(x).astype(jnp.float32) if complex_in else jnp.zeros_like(xr)
+        lhs = jnp.stack([xr, xi], axis=1)                    # [C, 2, L]
+        out = jax.lax.conv_general_dilated(
+            lhs, kern, window_strides=(stride,), padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"))
+        return out[:, 0, :] + 1j * out[:, 1, :]
+    hr = jnp.asarray(h, dtype=jnp.float32)[None, None, :]    # [1, 1, T]
+    if complex_in:
+        xr = jnp.real(x).astype(jnp.float32)
+        xi = jnp.imag(x).astype(jnp.float32)
+        lhs = jnp.concatenate([xr, xi], axis=0)[:, None, :]  # [2C, 1, L]
+        out = jax.lax.conv_general_dilated(
+            lhs, hr, window_strides=(stride,), padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"))[:, 0, :]
+        c = x.shape[0]
+        return out[:c] + 1j * out[c:]
+    out = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32)[:, None, :], hr, window_strides=(stride,),
+        padding="VALID", dimension_numbers=("NCH", "OIH", "NCH"))
+    return out[:, 0, :]
+
+
+@struct.dataclass
+class ConvFIR:
+    """Time-domain streaming FIR with integer output stride (decimation)."""
+
+    taps: jnp.ndarray                                    # [T] float32/complex64
+    ntaps: int = struct.field(pytree_node=False)
+    block: int = struct.field(pytree_node=False)
+    decim: int = struct.field(pytree_node=False, default=1)
+    complex_state: bool = struct.field(pytree_node=False, default=True)
+
+    @classmethod
+    def create(cls, taps, block: int, decim: int = 1, complex_state: bool = True):
+        taps = np.asarray(taps)
+        if block % decim:
+            raise ValueError(f"block {block} not divisible by decim {decim}")
+        dt = jnp.complex64 if np.iscomplexobj(taps) else jnp.float32
+        return cls(taps=jnp.asarray(taps, dtype=dt), ntaps=taps.shape[-1],
+                   block=block, decim=decim, complex_state=complex_state)
+
+    def init_state(self, channels: int) -> jnp.ndarray:
+        dt = jnp.complex64 if self.complex_state else jnp.float32
+        return jnp.zeros((channels, self.ntaps - 1), dtype=dt)
+
+    def __call__(self, hist: jnp.ndarray, x: jnp.ndarray):
+        """hist [C, T-1], x [C, B] -> (hist', y [C, B/decim]).
+
+        Output sample n is the convolution evaluated at absolute stream
+        position (block_start + n*decim), so consecutive blocks continue the
+        same decimation phase as long as decim divides the block size.
+        """
+        xe = jnp.concatenate([hist, x], axis=-1)
+        y = _conv_valid(xe, self.taps, self.decim)
+        new_hist = xe[..., xe.shape[-1] - (self.ntaps - 1):]
+        return new_hist, y
+
+
+def make_fir(taps, block: int, decim: int = 1, complex_state: bool = True,
+             method: str = "auto"):
+    """Pick the FIR engine: conv for short kernels, overlap-save for long."""
+    taps = np.asarray(taps)
+    if method == "auto":
+        method = "conv" if taps.shape[-1] <= 192 or decim > 4 else "ols"
+    if method == "conv":
+        return ConvFIR.create(taps, block, decim, complex_state)
+    if method == "ols":
+        return OverlapSaveFIR.create(taps, block, decim)
+    raise ValueError(f"unknown FIR method {method!r}")

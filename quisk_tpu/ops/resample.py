@@ -1,0 +1,176 @@
+"""Rate changers: half-band cascades, polyphase interpolators, and the
+fractional (Lagrange) resampler.
+
+Parity targets:
+- 45-tap half-band decimate-by-2 cascades: filter.c:377-417
+  ``quisk_cDecim2HB45`` (chains of these implement /2^a, quisk.c:1731-1843)
+- polyphase interpolate / decimate / rational resample: filter.c:131-321,
+  wdsp/resample.c
+- fractional decimation by 4-point polynomial interpolation:
+  quisk.c:579-678 ``fFracDecim/cFracDecim`` (the 24/25 stage landing
+  exactly on 48 k, quisk.c:1658, 2654-2659)
+
+Design stance: integer-factor stages are streaming FIRs (ConvFIR, which XLA
+lowers to MXU convolutions); interpolation is ``lhs_dilation`` in the same
+conv; the fractional stage is a per-output-sample 4-tap inner product whose
+sub-sample phases repeat with period L for a rational ratio M/L, so it is a
+gather + tiny matmul, not a sequential loop.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from quisk_tpu.ops import design
+from quisk_tpu.ops.fir import ConvFIR
+
+
+@struct.dataclass
+class HalfbandDecim2:
+    """Decimate-by-2 half-band FIR (default 45 taps / ~120 dB)."""
+
+    fir: ConvFIR
+
+    @classmethod
+    def create(cls, block: int, ntaps: int = 45, atten_db: float = 120.0,
+               complex_state: bool = True):
+        taps = design.halfband(ntaps, atten_db)
+        return cls(fir=ConvFIR.create(taps, block, decim=2,
+                                      complex_state=complex_state))
+
+    @property
+    def block(self):
+        return self.fir.block
+
+    def init_state(self, channels: int):
+        return self.fir.init_state(channels)
+
+    def __call__(self, state, x):
+        return self.fir(state, x)
+
+
+@struct.dataclass
+class Interpolator:
+    """Integer upsampler: zero-stuff by L then image-reject FIR, fused into a
+    single transposed conv (``lhs_dilation=L``) so no zeros are materialised.
+    """
+
+    taps: jnp.ndarray
+    interp: int = struct.field(pytree_node=False)
+    ntaps: int = struct.field(pytree_node=False)
+    block: int = struct.field(pytree_node=False)
+    complex_state: bool = struct.field(pytree_node=False, default=True)
+
+    @classmethod
+    def create(cls, interp: int, block: int, fs_out: float,
+               atten_db: float = 90.0, complex_state: bool = True):
+        taps = design.interpolator(interp, fs_out, atten_db)
+        return cls(taps=jnp.asarray(taps, jnp.float32), interp=interp,
+                   ntaps=len(taps), block=block, complex_state=complex_state)
+
+    def init_state(self, channels: int):
+        # history of input samples long enough to cover the filter span
+        span = (self.ntaps - 1 + self.interp - 1) // self.interp
+        dt = jnp.complex64 if self.complex_state else jnp.float32
+        return jnp.zeros((channels, span), dtype=dt)
+
+    def _conv_up(self, xe: jnp.ndarray) -> jnp.ndarray:
+        h = self.taps[::-1][None, None, :]
+        if jnp.iscomplexobj(xe):
+            c = xe.shape[0]
+            lhs = jnp.concatenate([jnp.real(xe), jnp.imag(xe)], axis=0)
+            lhs = lhs.astype(jnp.float32)[:, None, :]
+            out = jax.lax.conv_general_dilated(
+                lhs, h, window_strides=(1,), padding="VALID",
+                lhs_dilation=(self.interp,),
+                dimension_numbers=("NCH", "OIH", "NCH"))[:, 0, :]
+            return out[:c] + 1j * out[c:]
+        out = jax.lax.conv_general_dilated(
+            xe.astype(jnp.float32)[:, None, :], h, window_strides=(1,),
+            padding="VALID", lhs_dilation=(self.interp,),
+            dimension_numbers=("NCH", "OIH", "NCH"))
+        return out[:, 0, :]
+
+    def __call__(self, hist, x):
+        """x [C, B] -> y [C, B*interp]."""
+        xe = jnp.concatenate([hist, x], axis=-1)
+        y_full = self._conv_up(xe)
+        # dilated length = (len(xe)-1)*L + 1; VALID conv gives that - T + 1
+        # outputs.  We want exactly B*L outputs ending at the last input.
+        want = x.shape[-1] * self.interp
+        y = y_full[..., y_full.shape[-1] - want:]
+        span = hist.shape[-1]
+        return xe[..., xe.shape[-1] - span:], y
+
+
+def _lagrange4_weights(mu: np.ndarray) -> np.ndarray:
+    """4-point (cubic Lagrange) interpolation weights for fractional offset
+    mu in [0,1) between sample index 1 and 2 of a 4-sample window."""
+    m = mu
+    w0 = -m * (m - 1.0) * (m - 2.0) / 6.0
+    w1 = (m + 1.0) * (m - 1.0) * (m - 2.0) / 2.0
+    w2 = -(m + 1.0) * m * (m - 2.0) / 2.0
+    w3 = (m + 1.0) * m * (m - 1.0) / 6.0
+    return np.stack([w0, w1, w2, w3], axis=-1)
+
+
+@struct.dataclass
+class FracDecim:
+    """Rational fractional decimator by M/L (output rate = input * L / M).
+
+    For each output n the read position is ``p = n * M/L``; the integer parts
+    advance in a fixed repeating pattern of period L and the fractional parts
+    cycle through L fixed phases, so weights are a constant [L, 4] table and
+    the kernel is a static gather + length-4 inner product.  Matches
+    quisk.c:579-678 (4-point polynomial interpolation) with exact rational
+    phase bookkeeping instead of its accumulated float ``fdecim`` counter.
+    """
+
+    weights: jnp.ndarray                                  # [n_out, 4] f32
+    gather_idx: jnp.ndarray                               # [n_out] int32
+    ratio_num: int = struct.field(pytree_node=False)      # M (input step)
+    ratio_den: int = struct.field(pytree_node=False)      # L
+    block: int = struct.field(pytree_node=False)          # input block
+    n_out: int = struct.field(pytree_node=False)
+    hist_len: int = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, ratio: Fraction | float, block: int):
+        """ratio = input_rate / output_rate (> 1 decimates), e.g. 25/24."""
+        r = Fraction(ratio).limit_denominator(1 << 16)
+        M, L = r.numerator, r.denominator
+        # choose block a multiple of M so each block yields exactly
+        # block * L / M outputs and the phase pattern repeats per block
+        if (block * L) % M:
+            raise ValueError(f"block {block} must make block*L divisible by M "
+                             f"(M={M}, L={L})")
+        n_out = block * L // M
+        # output n reads at position n*M/L (in samples, block-relative);
+        # window spans floor(p)-1 .. floor(p)+2, so keep 2 history samples
+        # before the block plus 1 lookahead handled by delaying output by
+        # one sample: define p_n = (n*M)/L - 1 (one-sample latency).
+        num = np.arange(n_out, dtype=np.int64) * M
+        ip = num // L                       # integer part
+        mu = (num - ip * L).astype(np.float64) / L
+        hist_len = 3                         # covers idx-1..idx+2 at p-1
+        idx = ip + hist_len - 2              # gather start (idx-1 in stream)
+        w = _lagrange4_weights(mu).astype(np.float32)
+        return cls(weights=jnp.asarray(w), gather_idx=jnp.asarray(idx, jnp.int32),
+                   ratio_num=M, ratio_den=L, block=block, n_out=n_out,
+                   hist_len=hist_len)
+
+    def init_state(self, channels: int):
+        return jnp.zeros((channels, self.hist_len), dtype=jnp.complex64)
+
+    def __call__(self, hist, x):
+        xe = jnp.concatenate([hist, x.astype(jnp.complex64)], axis=-1)
+        # windows [C, n_out, 4]
+        win = xe[:, self.gather_idx[:, None] + jnp.arange(4)[None, :]]
+        y = jnp.einsum("cnk,nk->cn", win, self.weights.astype(jnp.complex64))
+        new_hist = xe[..., xe.shape[-1] - self.hist_len:]
+        return new_hist, y
