@@ -50,7 +50,7 @@ DEFAULT_BANDWIDTH = {
     Mode.LSB: 2800.0,
     Mode.USB: 2800.0,
     Mode.AM: 6000.0,
-    Mode.FM: 10000.0,
+    Mode.FM: 12500.0,   # NFM channel; pairs with 2.5 kHz deviation (Carson)
     Mode.DGT_U: 3000.0,
     Mode.DGT_L: 3000.0,
     Mode.DGT_IQ: 10000.0,

@@ -73,11 +73,15 @@ class Interpolator:
         return cls(taps=jnp.asarray(taps, jnp.float32), interp=interp,
                    ntaps=len(taps), block=block, complex_state=complex_state)
 
+    @property
+    def _span(self) -> int:
+        # history length so the dilated VALID conv yields >= block*interp
+        # outputs: (span-1)*interp >= ntaps-2
+        return -(-(self.ntaps - 2) // self.interp) + 1
+
     def init_state(self, channels: int):
-        # history of input samples long enough to cover the filter span
-        span = (self.ntaps - 1 + self.interp - 1) // self.interp
         dt = jnp.complex64 if self.complex_state else jnp.float32
-        return jnp.zeros((channels, span), dtype=dt)
+        return jnp.zeros((channels, self._span), dtype=dt)
 
     def _conv_up(self, xe: jnp.ndarray) -> jnp.ndarray:
         h = self.taps[::-1][None, None, :]
@@ -86,13 +90,13 @@ class Interpolator:
             lhs = jnp.concatenate([jnp.real(xe), jnp.imag(xe)], axis=0)
             lhs = lhs.astype(jnp.float32)[:, None, :]
             out = jax.lax.conv_general_dilated(
-                lhs, h, window_strides=(1,), padding="VALID",
+                lhs, h, window_strides=(1,), padding=[(0, 0)],
                 lhs_dilation=(self.interp,),
                 dimension_numbers=("NCH", "OIH", "NCH"))[:, 0, :]
             return out[:c] + 1j * out[c:]
         out = jax.lax.conv_general_dilated(
             xe.astype(jnp.float32)[:, None, :], h, window_strides=(1,),
-            padding="VALID", lhs_dilation=(self.interp,),
+            padding=[(0, 0)], lhs_dilation=(self.interp,),
             dimension_numbers=("NCH", "OIH", "NCH"))
         return out[:, 0, :]
 
@@ -104,8 +108,7 @@ class Interpolator:
         # outputs.  We want exactly B*L outputs ending at the last input.
         want = x.shape[-1] * self.interp
         y = y_full[..., y_full.shape[-1] - want:]
-        span = hist.shape[-1]
-        return xe[..., xe.shape[-1] - span:], y
+        return xe[..., xe.shape[-1] - self._span:], y
 
 
 def _lagrange4_weights(mu: np.ndarray) -> np.ndarray:

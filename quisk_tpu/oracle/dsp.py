@@ -78,6 +78,26 @@ def one_pole(x: np.ndarray, a: float, b: float, y_prev: float = 0.0) -> np.ndarr
     return y
 
 
+def agc(a: np.ndarray, fs: float, target: float = 0.9, max_gain_db: float = 80.0,
+        release_db_per_s: float = 60.0, lookahead_ms: float = 15.0,
+        delay: np.ndarray | None = None, lg0: float = 0.0):
+    """Sequential reference of ops/agc.py (same lookahead/min-release law)."""
+    W = max(1, int(round(lookahead_ms * 1e-3 * fs)))
+    inc = np.log(10.0) * release_db_per_s / 20.0 / fs
+    max_lg = np.log(10.0) * max_gain_db / 20.0
+    if delay is None:
+        delay = np.zeros(W)
+    ext = np.concatenate([delay, a])
+    out = np.empty(len(a))
+    lg = lg0
+    for n in range(len(a)):
+        env = np.max(np.abs(ext[n: n + W]))
+        limit = min(np.log(target / max(env, 1e-9)), max_lg)
+        lg = min(lg + inc, limit)
+        out[n] = ext[n] * np.exp(lg)
+    return out
+
+
 def snr_db(ref: np.ndarray, test: np.ndarray, skip: int = 0) -> float:
     """SNR of `test` against `ref` in dB, optionally skipping a transient."""
     r = np.asarray(ref)[skip:]
@@ -88,6 +108,43 @@ def snr_db(ref: np.ndarray, test: np.ndarray, skip: int = 0) -> float:
     if p_err == 0:
         return np.inf
     return 10.0 * np.log10(p_sig / p_err)
+
+
+def frac_align_snr(ref: np.ndarray, test: np.ndarray, max_lag: int = 2048,
+                   skip: int = 0) -> float:
+    """SNR after *fractional* delay + gain alignment of `test` to `ref`.
+
+    Multirate chains have non-integer net group delay (e.g. a 45-tap
+    half-band's 22-sample delay is 1.1 output samples after /20), which caps
+    integer-lag SNR; this aligns with an FFT phase ramp at the correlation
+    peak (parabolic-interpolated) before comparing.
+    """
+    r = np.asarray(ref, dtype=np.float64)[skip:]
+    t = np.asarray(test, dtype=np.float64)[skip:]
+    n = min(len(r), len(t))
+    r, t = r[:n] - r[:n].mean(), t[:n] - t[:n].mean()
+    # integer lag via cross-correlation (FFT)
+    N = 1 << int(np.ceil(np.log2(2 * n)))
+    X = np.fft.rfft(r, N) * np.conj(np.fft.rfft(t, N))
+    xc = np.fft.irfft(X, N)
+    lags = np.concatenate([np.arange(0, max_lag + 1), np.arange(-max_lag, 0)])
+    seg = np.concatenate([xc[: max_lag + 1], xc[-max_lag:]])
+    k = int(np.argmax(np.abs(seg)))
+    lag = lags[k]
+    # parabolic interpolation around the peak for the fractional part
+    ym1, y0, yp1 = (xc[(lag - 1) % N], xc[lag % N], xc[(lag + 1) % N])
+    denom = ym1 - 2 * y0 + yp1
+    mu = 0.5 * (ym1 - yp1) / denom if abs(denom) > 1e-30 else 0.0
+    mu = float(np.clip(mu, -1, 1))
+    d = lag + mu          # test must be advanced by d to match ref
+    # apply fractional delay to t via frequency-domain phase ramp
+    f = np.fft.rfftfreq(N)
+    T = np.fft.rfft(t, N) * np.exp(-2j * np.pi * f * d)
+    t_al = np.fft.irfft(T, N)[:n]
+    guard = int(np.ceil(abs(d))) + 8
+    a, b = r[guard: n - guard], t_al[guard: n - guard]
+    g = np.dot(a, b) / np.dot(b, b)
+    return snr_db(a, g * b)
 
 
 def align_and_snr(ref: np.ndarray, test: np.ndarray, max_lag: int = 0,

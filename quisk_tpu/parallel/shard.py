@@ -1,0 +1,45 @@
+"""Channel-axis sharding: thousands of independent receivers across a mesh.
+
+The reference's channel parallelism is 3 demod banks + 9 sub-receivers on one
+CPU thread (quisk.c:50, quisk.h:21; SURVEY.md §2.4).  Here channels are a
+mesh axis: every per-channel array (NCO words/phase, filter masks with a
+leading [C] dim, demod state, blocks [C, B]) is sharded over it, everything
+else is replicated, and XLA/GSPMD propagates the sharding through the whole
+chain — no collectives needed because channels are independent.
+
+Time-block sharding with ppermute halo exchange lives in
+quisk_tpu.parallel.timeshard.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "chan") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+def channel_pspecs(tree, channels: int, axis: str = "chan"):
+    """PartitionSpecs matching `tree`: arrays whose leading dim == channels
+    get P(axis, None, ...); scalars and shared params get P() (replicated)."""
+
+    def spec(leaf):
+        shape = getattr(leaf, "shape", ())
+        if len(shape) >= 1 and shape[0] == channels:
+            return P(axis, *([None] * (len(shape) - 1)))
+        return P()
+
+    return jax.tree.map(spec, tree)
+
+
+def shard_over_channels(tree, mesh: Mesh, channels: int, axis: str = "chan"):
+    """device_put every leaf with its channel sharding."""
+    specs = channel_pspecs(tree, channels, axis)
+    return jax.tree.map(
+        lambda leaf, s: jax.device_put(leaf, NamedSharding(mesh, s)),
+        tree, specs)

@@ -1,0 +1,178 @@
+"""The composed receive chain: tune -> decimate -> filter -> demod -> AGC.
+
+This is the TPU-native equivalent of the reference's per-block RX pipeline
+``quisk_process_samples`` (quisk.c:2289): complex tune by NCO (2482-2488),
+decimation chain (1673), channel filter + demodulation (1848), fractional
+decimation to exactly the audio rate (2654-2659), AGC (2162) — except every
+step is batched over a ``[channels, block]`` array, so one step demodulates
+thousands of independent receivers (the reference caps at 3 demod banks + 9
+sub-receivers, quisk.c:50, quisk.h:21).
+
+All shapes/rates are static (chosen by the planner); all tunables (NCO
+frequency words, filter masks, mode ids) are data.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from quisk_tpu.modes import CW_PITCH, DEFAULT_BANDWIDTH, Mode
+from quisk_tpu.ops import design
+from quisk_tpu.ops.agc import AGC
+from quisk_tpu.ops.demod import MixedDemod
+from quisk_tpu.ops.fir import ConvFIR, OverlapSaveFIR
+from quisk_tpu.ops.nco import NCO
+from quisk_tpu.ops.resample import FracDecim
+from quisk_tpu.rx.planner import DecimPlan, plan_block_sizes, plan_decimation
+
+
+def mode_band(mode: Mode, bandwidth: float | None = None,
+              cw_pitch: float = CW_PITCH) -> tuple[float, float]:
+    """Audio passband edges (Hz, may be negative) for a mode.
+
+    Mirrors the reference's per-mode filter placement (quisk.py:5405
+    MakeFilterCoef: SSB filters start at ~300 Hz from the carrier, CW filters
+    center on the pitch, AM/FM/IQ are symmetric about the carrier).
+    """
+    bw = float(bandwidth if bandwidth is not None else DEFAULT_BANDWIDTH[mode])
+    if mode in (Mode.CWU, Mode.CWL):
+        lo, hi = cw_pitch - bw / 2.0, cw_pitch + bw / 2.0
+        return (-hi, -lo) if mode == Mode.CWL else (lo, hi)
+    if mode.is_ssb_like:
+        lo, hi = 300.0, 300.0 + bw
+        return (-hi, -lo) if mode.is_lower else (lo, hi)
+    # AM / FM / DGT_IQ / EXT: symmetric about the carrier
+    return (-bw / 2.0, bw / 2.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class RxChainConfig:
+    """Static configuration of a receive chain (shapes/rates/plan)."""
+
+    sample_rate: float                   # input IQ rate
+    channels: int
+    audio_rate: float = 48000.0
+    audio_block: int = 2048              # requested; actual from planner
+    filter_taps: int = 1025              # channel-filter length
+    agc: bool = True
+    fm_deviation_hz: float = 5000.0
+    cw_pitch: float = CW_PITCH
+    decim_atten_db: float = 100.0
+
+
+@struct.dataclass
+class RxChain:
+    """The jit-able chain. Build with :meth:`create`; tunables are data."""
+
+    nco: NCO
+    stages: tuple                         # ConvFIR decimator stages
+    bp: OverlapSaveFIR                    # per-channel analytic bandpass
+    frac: FracDecim | None
+    demod: MixedDemod
+    agc: AGC | None
+    # static metadata
+    channels: int = struct.field(pytree_node=False)
+    block_in: int = struct.field(pytree_node=False)
+    block_audio: int = struct.field(pytree_node=False)
+    fs_audio: float = struct.field(pytree_node=False)
+
+    # ---------------------------------------------------------------- build
+    @classmethod
+    def create(cls, config: RxChainConfig,
+               tune_hz: Sequence[float] | float = 0.0,
+               mode: Sequence[int] | int = Mode.USB,
+               bandwidth_hz: Sequence[float] | None = None) -> "RxChain":
+        C = config.channels
+        plan = plan_decimation(config.sample_rate, config.audio_rate)
+        blocks = plan_block_sizes(plan, config.audio_block)
+        B_in, B_mid, B_audio = blocks["input"], blocks["mid"], blocks["audio"]
+
+        nco = NCO.create(tune_hz, config.sample_rate, B_in, C)
+
+        stages = []
+        b = B_in
+        for d, fs_stage in zip(plan.stages, plan.stage_rates()):
+            if d == 2:
+                taps = design.halfband(45)
+            else:
+                taps = design.decimator(d, fs_stage,
+                                        atten_db=config.decim_atten_db)
+            stages.append(ConvFIR.create(taps, b, decim=d))
+            b //= d
+        assert b == B_mid
+
+        modes = np.broadcast_to(np.asarray(mode, np.int32), (C,))
+        if bandwidth_hz is None:
+            bands = [mode_band(Mode(int(m)), None, config.cw_pitch)
+                     for m in modes]
+        else:
+            bws = np.broadcast_to(np.asarray(bandwidth_hz, np.float64), (C,))
+            bands = [mode_band(Mode(int(m)), bw, config.cw_pitch)
+                     for m, bw in zip(modes, bws)]
+        # channel filter runs at fs_mid (before the fractional stage), so
+        # design the taps at that rate; dedupe identical bands (design cost
+        # is per unique filter, not per channel)
+        cache: dict[tuple, np.ndarray] = {}
+        for lo, hi in set(bands):
+            cache[(lo, hi)] = design.bandpass_analytic(
+                config.filter_taps, lo, hi, plan.fs_mid)
+        taps = np.stack([cache[b] for b in bands])
+        bp = OverlapSaveFIR.create(taps, B_mid)
+
+        frac = FracDecim.create(plan.frac, B_mid) if plan.frac else None
+
+        demod = MixedDemod.create(modes, plan.fs_out, C,
+                                  config.fm_deviation_hz)
+        agc = AGC.create(plan.fs_out) if config.agc else None
+        return cls(nco=nco, stages=tuple(stages), bp=bp, frac=frac,
+                   demod=demod, agc=agc, channels=C, block_in=B_in,
+                   block_audio=B_audio, fs_audio=plan.fs_out)
+
+    # ---------------------------------------------------------------- state
+    def init_state(self):
+        C = self.channels
+        return {
+            "nco": self.nco.init_state(C),
+            "stages": tuple(s.init_state(C) for s in self.stages),
+            "bp": self.bp.init_state(C),
+            "frac": self.frac.init_state(C) if self.frac else (),
+            "demod": self.demod.init_state(C),
+            "agc": self.agc.init_state(C) if self.agc else (),
+        }
+
+    # ----------------------------------------------------------------- step
+    def step(self, state, x: jnp.ndarray):
+        """One block: x [C, block_in] complex IQ -> audio [C, block_audio]."""
+        st = dict(state)
+        st["nco"], y = self.nco(st["nco"], x)
+        new_stage_states = []
+        for op, s in zip(self.stages, st["stages"]):
+            s, y = op(s, y)
+            new_stage_states.append(s)
+        st["stages"] = tuple(new_stage_states)
+        st["bp"], y = self.bp(st["bp"], y)
+        if self.frac is not None:
+            st["frac"], y = self.frac(st["frac"], y)
+        st["demod"], audio = self.demod(st["demod"], y)
+        if self.agc is not None:
+            st["agc"], audio = self.agc(st["agc"], audio)
+        return st, audio
+
+    def process(self, state, iq: jnp.ndarray):
+        """Many blocks via lax.scan: iq [C, N] -> audio [C, N_audio]."""
+        C, N = iq.shape
+        nblk = N // self.block_in
+        xb = iq[:, : nblk * self.block_in]
+        xb = xb.reshape(C, nblk, self.block_in).transpose(1, 0, 2)
+
+        def body(st, blk):
+            return self.step(st, blk)
+
+        state, audio = jax.lax.scan(body, state, xb)
+        return state, audio.transpose(1, 0, 2).reshape(C, -1)
