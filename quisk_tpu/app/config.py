@@ -1,0 +1,101 @@
+"""Typed, documented, persistable configuration.
+
+Parity: the reference's three-tier config (SURVEY.md §5.6) —
+``quisk_conf_defaults.py`` (every flag with doc comments),
+``configure.py``'s JSON radio database (``quisk_settings.json``), and a user
+override file.  Here: frozen dataclasses with docstrings per category, JSON
+(de)serialisation, named-radio storage, and periodic app-state snapshots
+(band/frequency/mode persisted like quisk.py:3712 ``StateNames`` every 20 s).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import pathlib
+import time
+from typing import Any
+
+from quisk_tpu.modes import Mode
+
+
+@dataclasses.dataclass
+class RadioConfig:
+    """Everything needed to build RX/TX chains for one radio."""
+
+    name: str = "default"
+    sample_rate: float = 48000.0      # input IQ rate (quisk_conf_defaults sample_rate)
+    audio_rate: float = 48000.0       # playback/audio rate
+    tx_rate: float = 48000.0
+    channels: int = 1                 # concurrent receivers (ref caps at 3+9)
+    audio_block: int = 2048
+    mode: str = "USB"
+    bandwidth_hz: float | None = None
+    tune_hz: float = 0.0
+    agc: bool = True
+    agc_release_db_per_s: float = 60.0
+    squelch: bool = False
+    squelch_threshold: float = 1.2
+    noise_blanker: int = 0            # 0=off, 1/2/3 = level (quisk.c:716)
+    auto_notch: bool = False
+    fm_deviation_hz: float = 2500.0
+    cw_pitch: float = 600.0
+    filter_taps: int = 1025
+    # display
+    fft_size: int = 2048
+    graph_refresh_hz: float = 7.0     # quisk_conf_defaults.py:1794
+
+    def modes(self) -> Mode:
+        return Mode[self.mode]
+
+    def to_json(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_json(cls, d: dict[str, Any]) -> "RadioConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+
+class Settings:
+    """Named-radio JSON database + periodic app-state persistence
+    (the quisk_settings.json equivalent, configure.py:92-94, 543, 588)."""
+
+    STATE_KEYS = ("band", "vfo_hz", "tune_hz", "mode", "bandwidth_hz",
+                  "volume", "agc", "squelch")   # ref StateNames quisk.py:3712
+
+    def __init__(self, path: str | pathlib.Path):
+        self.path = pathlib.Path(path)
+        self.data: dict[str, Any] = {"radios": {}, "state": {}}
+        self._last_save = 0.0
+        if self.path.exists():
+            self.data = json.loads(self.path.read_text())
+
+    def save(self) -> None:
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self.path.write_text(json.dumps(self.data, indent=1, sort_keys=True))
+        self._last_save = time.monotonic()
+
+    # -- radios ------------------------------------------------------------
+    def add_radio(self, cfg: RadioConfig) -> None:
+        self.data["radios"][cfg.name] = cfg.to_json()
+
+    def get_radio(self, name: str) -> RadioConfig:
+        return RadioConfig.from_json(self.data["radios"][name])
+
+    def radio_names(self) -> list[str]:
+        return sorted(self.data["radios"])
+
+    # -- app state (periodic snapshot) --------------------------------------
+    def update_state(self, interval_secs: float = 20.0, **state) -> bool:
+        """Record state; write to disk at most every `interval_secs`
+        (the reference saves every 20 s, quisk.py:6883-6887).  Returns True
+        if a disk write happened."""
+        self.data["state"].update(state)
+        if time.monotonic() - self._last_save >= interval_secs:
+            self.save()
+            return True
+        return False
+
+    def get_state(self) -> dict[str, Any]:
+        return dict(self.data["state"])

@@ -120,21 +120,29 @@ def measure_frequency(x: jnp.ndarray, sample_rate: float) -> jnp.ndarray:
     return kf * (sample_rate / B)
 
 
-def rebin_pixels(db: jnp.ndarray, pixels: int, zoom: float = 1.0,
-                 center_frac: float = 0.0) -> jnp.ndarray:
-    """Re-bin a [C, F] dB spectrum to [C, pixels] for display, max-holding
-    within each pixel (zoom >= 1 narrows the view about center_frac of fs)."""
-    C, F = db.shape
+def _rebin_geometry(F: int, pixels: int, zoom: float, center_frac: float):
     span = int(F / zoom)
     start = int(F / 2 + center_frac * F - span / 2)
     start = max(0, min(F - span, start))
-    view = jax.lax.dynamic_slice_in_dim(db, start, span, axis=1) \
-        if False else db[:, start:start + span]
-    # pad so span divides pixels evenly
     per = max(1, span // pixels)
-    use = per * pixels
-    v = view[:, :use].reshape(C, pixels, per)
+    return start, per
+
+
+def rebin_pixels(db: jnp.ndarray, pixels: int, zoom: float = 1.0,
+                 center_frac: float = 0.0) -> jnp.ndarray:
+    """Re-bin a [C, F] dB spectrum to [C, pixels] for display, max-holding
+    within each pixel (zoom >= 1 narrows the view about center_frac of fs).
+    Use :func:`rebin_freqs` for the matching pixel center frequencies."""
+    C, F = db.shape
+    start, per = _rebin_geometry(F, pixels, zoom, center_frac)
+    v = db[:, start:start + per * pixels].reshape(C, pixels, per)
     return jnp.max(v, axis=-1)
 
 
-import jax  # noqa: E402  (used by rebin_pixels' disabled dynamic path)
+def rebin_freqs(freqs: np.ndarray, pixels: int, zoom: float = 1.0,
+                center_frac: float = 0.0) -> np.ndarray:
+    """Center frequency of each display pixel produced by rebin_pixels."""
+    F = len(freqs)
+    start, per = _rebin_geometry(F, pixels, zoom, center_frac)
+    idx = start + np.arange(pixels) * per + per // 2
+    return np.asarray(freqs)[np.minimum(idx, F - 1)]

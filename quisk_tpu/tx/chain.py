@@ -1,0 +1,148 @@
+"""Transmit chain: mic audio -> processed -> modulated IQ at the TX rate.
+
+Parity: the reference's ``quisk_process_microphone`` (microphone.c:1092) and
+``tx_filter`` (microphone.c:372): mic bandpass 300-2700, pre-emphasis
+(~6 dB/oct, microphone.c:452-465), mic AGC, clip + quadratic soft compressor
+(484-518), analytic (Hilbert-by-tuned-FIR) I/Q split (469), ALC with 20 ms
+lookahead (270), per-mode modulators (1226-1278): SSB = the analytic signal,
+AM = 0.5 + audio/2 (1238-1240), FM = e^{j(scale*integral(audio) + CTCSS)}
+(1242-1262), then interpolation to the TX sample rate (1307-1336).
+
+Batched ``[channels, block]``; FM phase is carried across blocks (wrapped
+mod 2 pi each block so float32 never loses precision).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+from quisk_tpu.modes import Mode
+from quisk_tpu.ops import design
+from quisk_tpu.ops.agc import AGC
+from quisk_tpu.ops.compress import SoftCompressor
+from quisk_tpu.ops.fir import OverlapSaveFIR
+from quisk_tpu.ops.iir import Preemphasis
+from quisk_tpu.ops.resample import Interpolator
+
+TWO_PI = 2.0 * np.pi
+
+
+@dataclasses.dataclass(frozen=True)
+class TxChainConfig:
+    channels: int
+    audio_rate: float = 48000.0
+    tx_rate: float = 48000.0            # must be audio_rate * integer
+    audio_block: int = 2048
+    mic_band: tuple[float, float] = (300.0, 2700.0)
+    filter_taps: int = 513
+    preemphasis: float = 0.0            # 0..1, first-difference coefficient
+    compress_db: float = 0.0            # 0 = off
+    alc: bool = True
+    fm_deviation_hz: float = 2500.0
+    ctcss_hz: float = 0.0
+    am_carrier: float = 0.5             # carrier fraction (ref: (x+CLIP16)/2)
+
+
+@struct.dataclass
+class TxChain:
+    analytic: OverlapSaveFIR            # 300-2700 analytic bandpass (USB)
+    preemph: Preemphasis | None
+    comp: SoftCompressor | None
+    alc: AGC | None
+    interp: Interpolator | None
+    mode: jnp.ndarray                   # [C] int32
+    fm_word: jnp.ndarray                # rad/sample per unit audio
+    ctcss_word: jnp.ndarray             # rad/sample CTCSS increment
+    am_carrier: jnp.ndarray
+    channels: int = struct.field(pytree_node=False)
+    block: int = struct.field(pytree_node=False)
+    block_tx: int = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, config: TxChainConfig,
+               mode: Sequence[int] | int = Mode.USB) -> "TxChain":
+        C = config.channels
+        B = config.audio_block
+        lo, hi = config.mic_band
+        taps = design.bandpass_analytic(config.filter_taps, lo, hi,
+                                        config.audio_rate)
+        analytic = OverlapSaveFIR.create(taps, B)
+        pre = (Preemphasis.create(config.preemphasis)
+               if config.preemphasis > 0 else None)
+        comp = (SoftCompressor.create(config.compress_db)
+                if config.compress_db > 0 else None)
+        # ALC = AGC that only ever attenuates (max gain 0 dB), 20 ms
+        # lookahead (microphone.c:270 process_alc)
+        alc = (AGC.create(config.audio_rate, target=1.0, max_gain_db=0.0,
+                          release_db_per_s=12.0, lookahead_ms=20.0)
+               if config.alc else None)
+        ratio = config.tx_rate / config.audio_rate
+        L = int(round(ratio))
+        if abs(ratio - L) > 1e-9:
+            raise ValueError("tx_rate must be an integer multiple of audio_rate")
+        interp = (Interpolator.create(L, B, fs_out=config.tx_rate)
+                  if L > 1 else None)
+        m = jnp.broadcast_to(jnp.asarray(mode, jnp.int32), (C,))
+        fm_w = TWO_PI * config.fm_deviation_hz / config.audio_rate
+        ct_w = TWO_PI * config.ctcss_hz / config.audio_rate
+        return cls(analytic=analytic, preemph=pre, comp=comp, alc=alc,
+                   interp=interp, mode=m,
+                   fm_word=jnp.float32(fm_w), ctcss_word=jnp.float32(ct_w),
+                   am_carrier=jnp.float32(config.am_carrier),
+                   channels=C, block=B, block_tx=B * L)
+
+    def init_state(self):
+        C = self.channels
+        return {
+            "analytic": self.analytic.init_state(C),
+            "preemph": self.preemph.init_state(C) if self.preemph else (),
+            "alc": self.alc.init_state(C) if self.alc else (),
+            "fm_phase": jnp.zeros((C,), jnp.float32),
+            "ctcss_phase": jnp.zeros((C,), jnp.float32),
+            "interp": self.interp.init_state(C) if self.interp else (),
+        }
+
+    def step(self, state, audio: jnp.ndarray):
+        """audio [C, block] float -> (state, iq [C, block_tx] complex64)."""
+        st = dict(state)
+        a = audio
+        if self.preemph is not None:
+            st["preemph"], a = self.preemph(st["preemph"], a)
+        if self.comp is not None:
+            _, a = self.comp((), a)
+        if self.alc is not None:
+            st["alc"], a = self.alc(st["alc"], a)
+
+        # SSB/CW-style: analytic bandpass of the (real) audio -> one-sided IQ
+        st["analytic"], z = self.analytic(
+            st["analytic"], a.astype(jnp.complex64))
+        m = self.mode[:, None]
+        lower = ((m == int(Mode.LSB)) | (m == int(Mode.CWL))
+                 | (m == int(Mode.DGT_L)) | (m == int(Mode.FDV_L)))
+        iq_ssb = jnp.where(lower, jnp.conj(z), z)
+
+        # AM: carrier + audio envelope (uses the bandpassed real audio)
+        env = self.am_carrier + (1.0 - self.am_carrier) * jnp.real(z)
+        iq_am = env.astype(jnp.complex64)
+
+        # FM: integrate audio into phase, add CTCSS tone, wrap mod 2pi
+        pha = st["fm_phase"][:, None] + self.fm_word * jnp.cumsum(a, axis=-1)
+        n = jnp.arange(self.block, dtype=jnp.float32)[None, :] + 1.0
+        ct = st["ctcss_phase"][:, None] + self.ctcss_word * n
+        total = pha + 0.15 * jnp.sin(ct)
+        iq_fm = jnp.exp(1j * total.astype(jnp.complex64))
+        st["fm_phase"] = jnp.mod(pha[:, -1], TWO_PI)
+        st["ctcss_phase"] = jnp.mod(ct[:, -1], TWO_PI)
+
+        is_am = m == int(Mode.AM)
+        is_fm = m == int(Mode.FM)
+        iq = jnp.where(is_am, iq_am, jnp.where(is_fm, iq_fm, iq_ssb))
+
+        if self.interp is not None:
+            st["interp"], iq = self.interp(st["interp"], iq)
+        return st, iq
