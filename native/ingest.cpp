@@ -1,0 +1,237 @@
+// quisk_tpu native ingest library.
+//
+// Host-side, performance-critical sample ingest: packed-sample conversion,
+// SDR packet framing/deframing with sequence tracking, and a lock-free
+// SPSC ring buffer feeding the device pipeline.  These are the TPU-native
+// equivalents of the reference's C UDP readers (quisk.c:3284
+// quisk_read_rx_udp, 3519 read_rx_udp10) and TX framers (microphone.c:721
+// quisk_hermes_tx_*), rebuilt as a reusable library with a C ABI consumed
+// from Python via ctypes (no pybind11 dependency).
+//
+// Wire formats implemented (protocol shapes, written fresh from the
+// protocol descriptions in SURVEY.md §2 / §5.8):
+//  - iq24: packed little-endian signed 24-bit I/Q pairs -> float32 in [-1,1)
+//  - hiqsdr: 1442-byte UDP payload = 1 seq byte + 1 status byte +
+//            240 iq24 pairs (the N2ADR protocol family)
+//  - metis:  1032-byte frame = 0xEF 0xFE 0x01 <ep> <seq:4 BE> + 2 x 512-byte
+//            sub-frames, each: 0x7F 0x7F 0x7F c0..c4 then (n_rx * 6 + 2)-byte
+//            sample groups: per-rx 24-bit I,Q then 16-bit mic
+//
+// Build: make -C native   ->  libquisk_ingest.so
+
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// ---------------------------------------------------------------- iq24
+// Convert n packed 24-bit little-endian signed I/Q pairs to float32.
+void qt_unpack_iq24(const uint8_t* in, int64_t n_pairs, float* out_i,
+                    float* out_q) {
+  const float scale = 1.0f / 8388608.0f;  // 2^23
+  for (int64_t k = 0; k < n_pairs; ++k) {
+    const uint8_t* p = in + k * 6;
+    int32_t i = (int32_t)((uint32_t)p[0] | ((uint32_t)p[1] << 8) |
+                          ((uint32_t)p[2] << 16));
+    int32_t q = (int32_t)((uint32_t)p[3] | ((uint32_t)p[4] << 8) |
+                          ((uint32_t)p[5] << 16));
+    if (i & 0x800000) i -= 0x1000000;  // sign-extend 24 -> 32
+    if (q & 0x800000) q -= 0x1000000;
+    out_i[k] = (float)i * scale;
+    out_q[k] = (float)q * scale;
+  }
+}
+
+// Pack float32 I/Q into 24-bit little-endian pairs (TX direction).
+void qt_pack_iq24(const float* in_i, const float* in_q, int64_t n_pairs,
+                  uint8_t* out) {
+  for (int64_t k = 0; k < n_pairs; ++k) {
+    float fi = in_i[k], fq = in_q[k];
+    if (fi > 0.9999999f) fi = 0.9999999f;
+    if (fi < -1.0f) fi = -1.0f;
+    if (fq > 0.9999999f) fq = 0.9999999f;
+    if (fq < -1.0f) fq = -1.0f;
+    int32_t i = (int32_t)(fi * 8388608.0f);
+    int32_t q = (int32_t)(fq * 8388608.0f);
+    uint8_t* p = out + k * 6;
+    p[0] = (uint8_t)(i & 0xFF);
+    p[1] = (uint8_t)((i >> 8) & 0xFF);
+    p[2] = (uint8_t)((i >> 16) & 0xFF);
+    p[3] = (uint8_t)(q & 0xFF);
+    p[4] = (uint8_t)((q >> 8) & 0xFF);
+    p[5] = (uint8_t)((q >> 16) & 0xFF);
+  }
+}
+
+// ---------------------------------------------------------------- hiqsdr
+// Payload: [seq:1][status:1][240 iq24 pairs] = 1442 bytes.
+// Returns pairs written (240) or -1 on short packet.  seq_state tracks the
+// expected next sequence number; *seq_errors increments on mismatch
+// (the reference counts these the same way, quisk.c:3357-3363).
+int64_t qt_hiqsdr_parse(const uint8_t* pkt, int64_t len, uint8_t* seq_state,
+                        int64_t* seq_errors, float* out_i, float* out_q,
+                        uint8_t* status_out) {
+  if (len < 2 + 240 * 6) return -1;
+  uint8_t seq = pkt[0];
+  if (seq != *seq_state) ++*seq_errors;
+  *seq_state = (uint8_t)(seq + 1);
+  *status_out = pkt[1];
+  qt_unpack_iq24(pkt + 2, 240, out_i, out_q);
+  return 240;
+}
+
+int64_t qt_hiqsdr_build(const float* in_i, const float* in_q, uint8_t seq,
+                        uint8_t status, uint8_t* out) {
+  out[0] = seq;
+  out[1] = status;
+  qt_pack_iq24(in_i, in_q, 240, out + 2);
+  return 2 + 240 * 6;
+}
+
+// ---------------------------------------------------------------- metis
+// 1032-byte frame: EF FE 01 <ep> <seq32 BE> + 2 x 512-byte sub-frames.
+// Sub-frame: 7F 7F 7F c0 c1 c2 c3 c4 then sample groups of
+// (n_rx * 6 + 2) bytes: per-rx 24-bit BIG-endian I,Q then 16-bit BE mic.
+// Returns total per-rx sample count appended to out arrays, or -1 on bad
+// sync / header.  out_iq is an array of n_rx pointers to (i,q) interleaved
+// float32 (len 2*max_samples); mic is int16 out.
+static inline int32_t be24(const uint8_t* p) {
+  int32_t v = ((int32_t)p[0] << 16) | ((int32_t)p[1] << 8) | (int32_t)p[2];
+  if (v & 0x800000) v -= 0x1000000;
+  return v;
+}
+
+int64_t qt_metis_parse(const uint8_t* pkt, int64_t len, int32_t n_rx,
+                       uint32_t* seq_state, int64_t* seq_errors,
+                       float* out_iq /* [n_rx][2*max] interleaved */,
+                       int64_t out_stride /* floats per rx row */,
+                       int16_t* out_mic, uint8_t* ctl_out /* [2*5] */) {
+  if (len < 1032 || pkt[0] != 0xEF || pkt[1] != 0xFE || pkt[2] != 0x01)
+    return -1;
+  uint32_t seq = ((uint32_t)pkt[4] << 24) | ((uint32_t)pkt[5] << 16) |
+                 ((uint32_t)pkt[6] << 8) | (uint32_t)pkt[7];
+  if (seq != *seq_state) ++*seq_errors;
+  *seq_state = seq + 1;
+  const float scale = 1.0f / 8388608.0f;
+  int64_t ns = 0;
+  int group = n_rx * 6 + 2;
+  for (int sub = 0; sub < 2; ++sub) {
+    const uint8_t* f = pkt + 8 + sub * 512;
+    if (f[0] != 0x7F || f[1] != 0x7F || f[2] != 0x7F) return -1;
+    memcpy(ctl_out + sub * 5, f + 3, 5);
+    const uint8_t* s = f + 8;
+    int count = (512 - 8) / group;
+    for (int k = 0; k < count; ++k, s += group) {
+      for (int r = 0; r < n_rx; ++r) {
+        float iv = (float)be24(s + r * 6) * scale;
+        float qv = (float)be24(s + r * 6 + 3) * scale;
+        out_iq[r * out_stride + 2 * ns] = iv;
+        out_iq[r * out_stride + 2 * ns + 1] = qv;
+      }
+      out_mic[ns] = (int16_t)(((int16_t)s[n_rx * 6] << 8) |
+                              (uint8_t)s[n_rx * 6 + 1]);
+      ++ns;
+    }
+  }
+  return ns;
+}
+
+// Build one Metis TX frame from float IQ (+mic ignored/zero): round-robin
+// control registers supplied by the caller (c0..c4 per sub-frame).
+int64_t qt_metis_build(const float* iq /* interleaved i,q */, int64_t n,
+                       uint32_t seq, const uint8_t* ctl /* [2*5] */,
+                       uint8_t* out /* 1032 */) {
+  if (n < 126) return -1;  // need 63 samples per sub-frame (group = 8)
+  memset(out, 0, 1032);
+  out[0] = 0xEF; out[1] = 0xFE; out[2] = 0x01; out[3] = 0x02;
+  out[4] = (uint8_t)(seq >> 24); out[5] = (uint8_t)(seq >> 16);
+  out[6] = (uint8_t)(seq >> 8); out[7] = (uint8_t)seq;
+  int64_t k = 0;
+  for (int sub = 0; sub < 2; ++sub) {
+    uint8_t* f = out + 8 + sub * 512;
+    f[0] = 0x7F; f[1] = 0x7F; f[2] = 0x7F;
+    memcpy(f + 3, ctl + sub * 5, 5);
+    uint8_t* s = f + 8;
+    int count = (512 - 8) / 8;  // 1 tx "rx" group: 6 bytes IQ + 2 mic
+    for (int g = 0; g < count && k < n; ++g, s += 8, ++k) {
+      float fi = iq[2 * k], fq = iq[2 * k + 1];
+      if (fi > 0.9999999f) fi = 0.9999999f;
+      if (fi < -1.0f) fi = -1.0f;
+      if (fq > 0.9999999f) fq = 0.9999999f;
+      if (fq < -1.0f) fq = -1.0f;
+      int32_t i = (int32_t)(fi * 8388608.0f);
+      int32_t q = (int32_t)(fq * 8388608.0f);
+      s[0] = (uint8_t)(i >> 16); s[1] = (uint8_t)(i >> 8); s[2] = (uint8_t)i;
+      s[3] = (uint8_t)(q >> 16); s[4] = (uint8_t)(q >> 8); s[5] = (uint8_t)q;
+    }
+  }
+  return 1032;
+}
+
+// ---------------------------------------------------------------- ring
+// Lock-free single-producer single-consumer ring of float32 (pairs welcome:
+// push I/Q interleaved).  Capacity must be a power of two.
+struct QtRing {
+  float* buf;
+  int64_t cap;           // in floats
+  std::atomic<int64_t> head;  // write index (producer)
+  std::atomic<int64_t> tail;  // read index (consumer)
+  int64_t overruns;
+};
+
+void* qt_ring_create(int64_t capacity_floats) {
+  int64_t cap = 1;
+  while (cap < capacity_floats) cap <<= 1;
+  QtRing* r = new QtRing();
+  r->buf = new float[cap];
+  r->cap = cap;
+  r->head.store(0);
+  r->tail.store(0);
+  r->overruns = 0;
+  return r;
+}
+
+void qt_ring_destroy(void* h) {
+  QtRing* r = (QtRing*)h;
+  delete[] r->buf;
+  delete r;
+}
+
+int64_t qt_ring_size(void* h) {
+  QtRing* r = (QtRing*)h;
+  return r->head.load(std::memory_order_acquire) -
+         r->tail.load(std::memory_order_acquire);
+}
+
+int64_t qt_ring_overruns(void* h) { return ((QtRing*)h)->overruns; }
+
+// Push n floats; drops (counts overrun) if not enough space.  Returns
+// number actually written.
+int64_t qt_ring_push(void* h, const float* data, int64_t n) {
+  QtRing* r = (QtRing*)h;
+  int64_t head = r->head.load(std::memory_order_relaxed);
+  int64_t tail = r->tail.load(std::memory_order_acquire);
+  int64_t space = r->cap - (head - tail);
+  if (n > space) {
+    ++r->overruns;
+    n = space;
+  }
+  for (int64_t k = 0; k < n; ++k) r->buf[(head + k) & (r->cap - 1)] = data[k];
+  r->head.store(head + n, std::memory_order_release);
+  return n;
+}
+
+// Pop up to n floats; returns count popped.
+int64_t qt_ring_pop(void* h, float* out, int64_t n) {
+  QtRing* r = (QtRing*)h;
+  int64_t head = r->head.load(std::memory_order_acquire);
+  int64_t tail = r->tail.load(std::memory_order_relaxed);
+  int64_t avail = head - tail;
+  if (n > avail) n = avail;
+  for (int64_t k = 0; k < n; ++k) out[k] = r->buf[(tail + k) & (r->cap - 1)];
+  r->tail.store(tail + n, std::memory_order_release);
+  return n;
+}
+
+}  // extern "C"

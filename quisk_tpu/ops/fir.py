@@ -116,7 +116,7 @@ def _conv_valid(x: jnp.ndarray, taps: jnp.ndarray, stride: int) -> jnp.ndarray:
         out = jax.lax.conv_general_dilated(
             lhs, kern, window_strides=(stride,), padding="VALID",
             dimension_numbers=("NCH", "OIH", "NCH"))
-        return out[:, 0, :] + 1j * out[:, 1, :]
+        return jax.lax.complex(out[:, 0, :], out[:, 1, :])
     hr = jnp.asarray(h, dtype=jnp.float32)[None, None, :]    # [1, 1, T]
     if complex_in:
         xr = jnp.real(x).astype(jnp.float32)
@@ -126,7 +126,7 @@ def _conv_valid(x: jnp.ndarray, taps: jnp.ndarray, stride: int) -> jnp.ndarray:
             lhs, hr, window_strides=(stride,), padding="VALID",
             dimension_numbers=("NCH", "OIH", "NCH"))[:, 0, :]
         c = x.shape[0]
-        return out[:c] + 1j * out[c:]
+        return jax.lax.complex(out[:c], out[c:])
     out = jax.lax.conv_general_dilated(
         x.astype(jnp.float32)[:, None, :], hr, window_strides=(stride,),
         padding="VALID", dimension_numbers=("NCH", "OIH", "NCH"))

@@ -50,12 +50,16 @@ class NCO:
 
     def phasor(self, phase: jnp.ndarray):
         """(next_phase [C], e^{j theta} [C, block] complex64)."""
+        import jax
+
         n = jnp.arange(self.block, dtype=jnp.uint32)
         ph = phase[:, None] + self.word[:, None] * n[None, :]   # uint32 wraps
         ang = ph.astype(jnp.float32) * _TWO_PI_OVER_2_32
-        z = jnp.cos(ang) + 1j * jnp.sin(ang)
+        # lax.complex, not cos + 1j*sin: complex literals in HLO are not
+        # supported by every TPU runtime (axon), and this avoids them
+        z = jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
         next_phase = phase + self.word * jnp.uint32(self.block)
-        return next_phase, z.astype(jnp.complex64)
+        return next_phase, z
 
     def __call__(self, phase: jnp.ndarray, x: jnp.ndarray):
         """Mix x [C, block] down by the NCO frequency: y = x * e^{-j theta}."""

@@ -93,7 +93,7 @@ class Interpolator:
                 lhs, h, window_strides=(1,), padding=[(0, 0)],
                 lhs_dilation=(self.interp,),
                 dimension_numbers=("NCH", "OIH", "NCH"))[:, 0, :]
-            return out[:c] + 1j * out[c:]
+            return jax.lax.complex(out[:c], out[c:])
         out = jax.lax.conv_general_dilated(
             xe.astype(jnp.float32)[:, None, :], h, window_strides=(1,),
             padding=[(0, 0)], lhs_dilation=(self.interp,),

@@ -117,8 +117,8 @@ def shard_nco_mix(x: jnp.ndarray, word: jnp.ndarray, axis_name: str,
     n = offset + jnp.arange(block_local, dtype=jnp.uint32)
     ph = word[:, None] * n[None, :]
     ang = ph.astype(jnp.float32) * np.float32(2.0 * np.pi / 4294967296.0)
-    osc = jnp.cos(ang) - 1j * jnp.sin(ang)    # e^{-j theta}
-    return x * osc.astype(jnp.complex64)
+    osc = jax.lax.complex(jnp.cos(ang), -jnp.sin(ang))    # e^{-j theta}
+    return x * osc
 
 
 def timeshard_rx(iq: jnp.ndarray, mesh: Mesh, *, sample_rate: float,

@@ -135,7 +135,8 @@ class TxChain:
         n = jnp.arange(self.block, dtype=jnp.float32)[None, :] + 1.0
         ct = st["ctcss_phase"][:, None] + self.ctcss_word * n
         total = pha + 0.15 * jnp.sin(ct)
-        iq_fm = jnp.exp(1j * total.astype(jnp.complex64))
+        import jax
+        iq_fm = jax.lax.complex(jnp.cos(total), jnp.sin(total))
         st["fm_phase"] = jnp.mod(pha[:, -1], TWO_PI)
         st["ctcss_phase"] = jnp.mod(ct[:, -1], TWO_PI)
 

@@ -1,0 +1,102 @@
+"""Native ingest library vs NumPy fallbacks: byte-exact agreement."""
+
+import numpy as np
+import pytest
+
+from quisk_tpu.io import native
+
+
+@pytest.fixture(scope="module")
+def built():
+    return native.have_native()
+
+
+def _iq(n, seed=0):
+    rng = np.random.default_rng(seed)
+    z = (rng.standard_normal(n) + 1j * rng.standard_normal(n)) * 0.25
+    # keep strictly inside the 24-bit full-scale range (no clipping)
+    return (np.clip(z.real, -0.99, 0.99)
+            + 1j * np.clip(z.imag, -0.99, 0.99)).astype(np.complex64)
+
+
+def test_iq24_roundtrip_numpy():
+    iq = _iq(512)
+    b = native.pack_iq24(iq, use_native=False)
+    iq2 = native.unpack_iq24(b, use_native=False)
+    assert np.max(np.abs(iq - iq2)) < 2.0 / 8388608.0
+
+
+def test_iq24_native_matches_numpy(built):
+    if not built:
+        pytest.skip("native lib not built")
+    iq = _iq(1024, seed=3)
+    assert native.pack_iq24(iq, True) == native.pack_iq24(iq, False)
+    b = native.pack_iq24(iq, False)
+    np.testing.assert_array_equal(native.unpack_iq24(b, True),
+                                  native.unpack_iq24(b, False))
+
+
+def test_hiqsdr_roundtrip_and_seq_errors():
+    tx = native.HiqsdrStream(use_native=False)
+    rx = native.HiqsdrStream(use_native=False)
+    sent = [_iq(240, seed=i) for i in range(5)]
+    pkts = [tx.build(s, status=7) for s in sent]
+    del pkts[2]  # drop a packet
+    got = [rx.parse(p) for p in pkts]
+    assert all(g is not None for g in got)
+    assert rx.seq_errors == 1          # one discontinuity detected
+    iq0, status = got[0]
+    assert status == 7
+    assert np.max(np.abs(iq0 - sent[0])) < 2.0 / 8388608.0
+
+
+def test_metis_roundtrip(built):
+    for use_native in ([False, True] if built else [False]):
+        tx = native.MetisStream(n_rx=1, use_native=use_native)
+        rx = native.MetisStream(n_rx=1, use_native=use_native)
+        ns = native.metis_samples_per_frame(1)
+        assert ns == 126
+        iq = _iq(ns, seed=9)
+        ctl = np.arange(10, dtype=np.uint8).reshape(2, 5)
+        frame = tx.build_tx(iq, ctl)
+        assert len(frame) == native.METIS_FRAME_LEN
+        out = rx.parse(frame)
+        assert out is not None
+        iq2, mic, ctl2 = out
+        np.testing.assert_array_equal(ctl2, ctl)
+        assert iq2.shape == (1, ns)
+        assert np.max(np.abs(iq2[0] - iq)) < 2.0 / 8388608.0, use_native
+
+
+def test_metis_native_matches_numpy(built):
+    if not built:
+        pytest.skip("native lib not built")
+    tx = native.MetisStream(n_rx=1, use_native=False)
+    iq = _iq(126, seed=11)
+    ctl = np.zeros((2, 5), np.uint8)
+    frame = tx.build_tx(iq, ctl)
+    a = native.MetisStream(1, use_native=True).parse(frame)
+    b = native.MetisStream(1, use_native=False).parse(frame)
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])
+
+
+def test_metis_bad_sync_rejected():
+    rx = native.MetisStream(n_rx=1, use_native=False)
+    assert rx.parse(b"\x00" * 1032) is None
+
+
+@pytest.mark.parametrize("use_native_if_built", [False, True])
+def test_ring(built, use_native_if_built):
+    un = use_native_if_built and built
+    r = native.Ring(1 << 12, use_native=un)
+    data = np.arange(3000, dtype=np.float32)
+    assert r.push(data) == 3000
+    assert len(r) == 3000
+    out = r.pop(1000)
+    np.testing.assert_array_equal(out, data[:1000])
+    # fill to capacity -> overrun counted, no crash
+    big = np.ones(1 << 13, np.float32)
+    wrote = r.push(big)
+    assert wrote <= (1 << 12) - 2000
+    assert r.overrun_count() >= 1
