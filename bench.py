@@ -41,29 +41,38 @@ def main():
         mode=[modes[i % 4] for i in range(C)],
     )
 
-    key = jax.random.key(0)
-    x = (jax.random.normal(key, (C, chain.block_in), dtype=jnp.float32)
-         + 1j * jax.random.normal(jax.random.key(1), (C, chain.block_in),
-                                  dtype=jnp.float32)).astype(jnp.complex64)
-    state = chain.init_state()
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal((C, chain.block_in))
+         + 1j * rng.standard_normal((C, chain.block_in))).astype(np.complex64)
 
-    # NOTE: chain is a jit *argument*, not a closure constant — the axon
-    # backend cannot fetch device complex64 back to host, which closure
-    # constant lowering would require.
-    @jax.jit
-    def step(chain, state, x):
-        return chain.step(state, x)
+    # No complex64 may cross the host<->device boundary on the axon TPU
+    # runtime: chain/state/input are packed into (re, im) float32 pairs and
+    # rebuilt with lax.complex inside jit (quisk_tpu.utils.boundary).
+    from quisk_tpu.utils.boundary import make_boundary_step, pack_tree
+
+    step = make_boundary_step(lambda ch, st, xx: ch.step(st, xx))
+    pchain = pack_tree(chain)
+    pstate = pack_tree(chain.init_state())
+    px = pack_tree(x)
 
     # warmup / compile
-    state, audio = step(chain, state, x)
-    jax.block_until_ready((state, audio))
+    pstate, audio = step(pchain, pstate, px)
+    jax.block_until_ready((pstate, audio))
+    float(jnp.sum(audio))   # host fetch: axon block_until_ready alone has
+                            # been observed to return before execution ends
 
+    def timed(iters: int) -> float:
+        st = pstate
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            st, audio = step(pchain, st, px)
+        jax.block_until_ready((st, audio))
+        float(jnp.sum(audio))            # true pipeline sync (tiny fetch)
+        return time.perf_counter() - t0
+
+    timed(5)                             # settle queues/caches
     iters = 50
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, audio = step(chain, state, x)
-    jax.block_until_ready((state, audio))
-    dt = time.perf_counter() - t0
+    dt = timed(iters)
 
     samples = C * chain.block_in * iters
     msps = samples / dt / 1e6

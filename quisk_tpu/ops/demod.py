@@ -85,7 +85,8 @@ class FMDemod:
                    gain=jnp.asarray(g, jnp.float32))
 
     def init_state(self, channels: int):
-        return (jnp.zeros((channels,), jnp.complex64),
+        # host numpy: complex64 cannot cross the host<->device boundary
+        return (np.zeros((channels,), np.complex64),
                 self.deemph.init_state(channels))
 
     def discriminate(self, prev: jnp.ndarray, x: jnp.ndarray):

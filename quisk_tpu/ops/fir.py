@@ -33,8 +33,10 @@ def _next_pow2(n: int) -> int:
     return 1 << (n - 1).bit_length()
 
 
-def _as_c64(taps) -> jnp.ndarray:
-    return jnp.asarray(np.asarray(taps), dtype=jnp.complex64)
+# NOTE on complex leaves: masks/taps/histories that are complex are stored
+# as HOST numpy arrays, never eagerly device-put — the axon TPU runtime
+# cannot transfer complex64 across the host<->device boundary.  They cross
+# into jit as (re, im) float32 pairs via quisk_tpu.utils.boundary.
 
 
 @struct.dataclass
@@ -61,7 +63,8 @@ class OverlapSaveFIR:
             nfft = _next_pow2(block + ntaps - 1)
         if nfft < block + ntaps - 1:
             raise ValueError("nfft too small for overlap-save validity")
-        mask = jnp.fft.fft(_as_c64(taps), n=nfft, axis=-1)
+        mask = np.fft.fft(taps.astype(np.complex128), n=nfft, axis=-1
+                          ).astype(np.complex64)
         if mask.shape[0] == 1:
             mask = mask[0]
         return cls(mask=mask, ntaps=ntaps, block=block, nfft=nfft, decim=decim)
@@ -71,13 +74,14 @@ class OverlapSaveFIR:
         taps = np.atleast_2d(np.asarray(taps))
         if taps.shape[-1] != self.ntaps:
             raise ValueError("retune must keep tap count (shapes are static)")
-        mask = jnp.fft.fft(_as_c64(taps), n=self.nfft, axis=-1)
+        mask = np.fft.fft(taps.astype(np.complex128), n=self.nfft, axis=-1
+                          ).astype(np.complex64)
         if mask.shape[0] == 1:
             mask = mask[0]
         return self.replace(mask=mask)
 
-    def init_state(self, channels: int) -> jnp.ndarray:
-        return jnp.zeros((channels, self.ntaps - 1), dtype=jnp.complex64)
+    def init_state(self, channels: int):
+        return np.zeros((channels, self.ntaps - 1), dtype=np.complex64)
 
     def __call__(self, hist: jnp.ndarray, x: jnp.ndarray):
         """hist [C, ntaps-1], x [C, block] -> (hist', y [C, block/decim])."""
@@ -148,13 +152,17 @@ class ConvFIR:
         taps = np.asarray(taps)
         if block % decim:
             raise ValueError(f"block {block} not divisible by decim {decim}")
-        dt = jnp.complex64 if np.iscomplexobj(taps) else jnp.float32
-        return cls(taps=jnp.asarray(taps, dtype=dt), ntaps=taps.shape[-1],
+        if np.iscomplexobj(taps):
+            taps = taps.astype(np.complex64)       # host numpy (see NOTE)
+        else:
+            taps = jnp.asarray(taps, jnp.float32)
+        return cls(taps=taps, ntaps=taps.shape[-1],
                    block=block, decim=decim, complex_state=complex_state)
 
-    def init_state(self, channels: int) -> jnp.ndarray:
-        dt = jnp.complex64 if self.complex_state else jnp.float32
-        return jnp.zeros((channels, self.ntaps - 1), dtype=dt)
+    def init_state(self, channels: int):
+        if self.complex_state:
+            return np.zeros((channels, self.ntaps - 1), dtype=np.complex64)
+        return jnp.zeros((channels, self.ntaps - 1), dtype=jnp.float32)
 
     def __call__(self, hist: jnp.ndarray, x: jnp.ndarray):
         """hist [C, T-1], x [C, B] -> (hist', y [C, B/decim]).

@@ -48,7 +48,8 @@ class NoiseBlanker:
                    avg_win=avg_win, kwidth=K)
 
     def init_state(self, channels: int):
-        return jnp.zeros((channels, self.avg_win - 1), jnp.complex64)
+        # host numpy: complex64 cannot cross the host<->device boundary
+        return np.zeros((channels, self.avg_win - 1), np.complex64)
 
     def __call__(self, hist, x: jnp.ndarray):
         xe = jnp.concatenate([hist, x], axis=-1)

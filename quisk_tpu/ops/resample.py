@@ -80,8 +80,9 @@ class Interpolator:
         return -(-(self.ntaps - 2) // self.interp) + 1
 
     def init_state(self, channels: int):
-        dt = jnp.complex64 if self.complex_state else jnp.float32
-        return jnp.zeros((channels, self._span), dtype=dt)
+        if self.complex_state:   # host numpy: complex64 cannot cross the
+            return np.zeros((channels, self._span), np.complex64)  # boundary
+        return jnp.zeros((channels, self._span), dtype=jnp.float32)
 
     def _conv_up(self, xe: jnp.ndarray) -> jnp.ndarray:
         h = self.taps[::-1][None, None, :]
@@ -168,7 +169,8 @@ class FracDecim:
                    hist_len=hist_len)
 
     def init_state(self, channels: int):
-        return jnp.zeros((channels, self.hist_len), dtype=jnp.complex64)
+        # host numpy: complex64 cannot cross the host<->device boundary
+        return np.zeros((channels, self.hist_len), np.complex64)
 
     def __call__(self, hist, x):
         xe = jnp.concatenate([hist, x.astype(jnp.complex64)], axis=-1)
