@@ -103,6 +103,75 @@ class FMDemod:
 
 
 @struct.dataclass
+class PLLFMDemod:
+    """FM discriminator by carrier-tracking PLL (parity wdsp/fmd.c xfmd).
+
+    A second-order loop tracks the instantaneous phase; the demodulated
+    audio is the loop's frequency estimate (smoother under noise than the
+    phase-difference discriminator, which is why WDSP uses it for NFM).
+    Optional CTCSS notch removes the sub-audible tone (fmd.c snotch).
+
+    State: (phase [C], freq [C], deemph y_prev [C], notch state).
+    Per-sample loop via lax.scan; channels ride the vector lanes.
+    """
+
+    deemph: OnePole
+    notch: "object"            # Biquad | None (static None when disabled)
+    alpha: jnp.ndarray
+    beta: jnp.ndarray
+    gain: jnp.ndarray          # audio units per rad/sample
+    max_freq: jnp.ndarray
+
+    @classmethod
+    def create(cls, sample_rate: float, deviation_hz: float = 5000.0,
+               loop_bw_hz: float = 5000.0, deemph_hz: float = 300.0,
+               ctcss_hz: float = 0.0, max_offset_hz: float = 10000.0):
+        from quisk_tpu.ops.iir import Biquad
+        wn = 2.0 * np.pi * loop_bw_hz / sample_rate
+        zeta = 0.707
+        g = sample_rate / (2.0 * np.pi * deviation_hz)
+        notch = (Biquad.notch(ctcss_hz, sample_rate, q=5.0)
+                 if ctcss_hz > 0.0 else None)
+        return cls(deemph=OnePole.lowpass(deemph_hz, sample_rate),
+                   notch=notch,
+                   alpha=jnp.float32(2.0 * zeta * wn),
+                   beta=jnp.float32(wn * wn),
+                   gain=jnp.float32(g),
+                   max_freq=jnp.float32(
+                       2.0 * np.pi * max_offset_hz / sample_rate))
+
+    def init_state(self, channels: int):
+        z = jnp.zeros((channels,), jnp.float32)
+        notch_st = (self.notch.init_state(channels)
+                    if self.notch is not None else ())
+        return (z, z, self.deemph.init_state(channels), notch_st)
+
+    def __call__(self, state, x: jnp.ndarray):
+        import jax
+
+        phase0, freq0, de0, notch_st = state
+
+        def step(carry, xt):
+            ph, fr = carry
+            osc = jax.lax.complex(jnp.cos(ph), -jnp.sin(ph))
+            v = xt * osc
+            err = jnp.arctan2(jnp.imag(v), jnp.real(v))
+            fr = jnp.clip(fr + self.beta * err, -self.max_freq, self.max_freq)
+            ph = ph + fr + self.alpha * err
+            ph = jnp.where(ph > np.pi, ph - 2 * np.pi,
+                           jnp.where(ph < -np.pi, ph + 2 * np.pi, ph))
+            return (ph, fr), fr + self.alpha * err   # inst. freq estimate
+
+        (ph, fr), w = jax.lax.scan(step, (phase0, freq0),
+                                   jnp.moveaxis(x, 1, 0))
+        audio = jnp.moveaxis(w, 0, 1) * self.gain
+        de0, audio = self.deemph(de0, audio)
+        if self.notch is not None:
+            notch_st, audio = self.notch(notch_st, audio)
+        return (ph, fr, de0, notch_st), audio
+
+
+@struct.dataclass
 class MixedDemod:
     """Per-channel mode selection over a shared ``[C, B]`` batch.
 

@@ -79,6 +79,92 @@ class DCBlock:
 
 
 @struct.dataclass
+class Biquad:
+    """Second-order IIR section (direct form I) as a parallel recurrence.
+
+    The reference's WDSP uses biquad notch/peak sections for the FM CTCSS
+    snotch and audio peaking filters (wdsp/iir.c snotch/speak/mpeak).  The
+    feedback pair ``(y[n-1], y[n-2])`` evolves linearly, so the whole block
+    is evaluated with one associative scan over 2x2 affine maps — O(log B)
+    depth, channels on the vector lanes.
+
+    State: (x1, x2, y1, y2) each [C].
+    """
+
+    b0: jnp.ndarray
+    b1: jnp.ndarray
+    b2: jnp.ndarray
+    a1: jnp.ndarray
+    a2: jnp.ndarray
+
+    @classmethod
+    def notch(cls, f0_hz: float, fs: float, q: float = 30.0):
+        """RBJ cookbook notch (zero at f0; parity wdsp/iir.c snotch)."""
+        w0 = 2.0 * np.pi * f0_hz / fs
+        alpha = np.sin(w0) / (2.0 * q)
+        a0 = 1.0 + alpha
+        return cls(b0=jnp.float32(1.0 / a0),
+                   b1=jnp.float32(-2.0 * np.cos(w0) / a0),
+                   b2=jnp.float32(1.0 / a0),
+                   a1=jnp.float32(-2.0 * np.cos(w0) / a0),
+                   a2=jnp.float32((1.0 - alpha) / a0))
+
+    @classmethod
+    def peak(cls, f0_hz: float, fs: float, q: float = 10.0,
+             gain_db: float = 12.0):
+        """RBJ peaking EQ (parity wdsp/iir.c speak/mpeak)."""
+        A = 10.0 ** (gain_db / 40.0)
+        w0 = 2.0 * np.pi * f0_hz / fs
+        alpha = np.sin(w0) / (2.0 * q)
+        a0 = 1.0 + alpha / A
+        return cls(b0=jnp.float32((1.0 + alpha * A) / a0),
+                   b1=jnp.float32(-2.0 * np.cos(w0) / a0),
+                   b2=jnp.float32((1.0 - alpha * A) / a0),
+                   a1=jnp.float32(-2.0 * np.cos(w0) / a0),
+                   a2=jnp.float32((1.0 - alpha) / a0))
+
+    @classmethod
+    def highpass(cls, f0_hz: float, fs: float, q: float = 0.7071):
+        w0 = 2.0 * np.pi * f0_hz / fs
+        alpha = np.sin(w0) / (2.0 * q)
+        c = np.cos(w0)
+        a0 = 1.0 + alpha
+        return cls(b0=jnp.float32((1.0 + c) / 2.0 / a0),
+                   b1=jnp.float32(-(1.0 + c) / a0),
+                   b2=jnp.float32((1.0 + c) / 2.0 / a0),
+                   a1=jnp.float32(-2.0 * c / a0),
+                   a2=jnp.float32((1.0 - alpha) / a0))
+
+    def init_state(self, channels: int, dtype=jnp.float32):
+        z = jnp.zeros((channels,), dtype=dtype)
+        return (z, z, z, z)
+
+    def __call__(self, state, x: jnp.ndarray):
+        x1, x2, y1, y2 = state
+        C, B = x.shape
+        # feedforward part f[n] = b0 x[n] + b1 x[n-1] + b2 x[n-2]
+        xm1 = jnp.concatenate([x1[:, None], x[:, :-1]], axis=-1)
+        xm2 = jnp.concatenate([x2[:, None], x1[:, None], x[:, :-2]], axis=-1)
+        f = self.b0 * x + self.b1 * xm1 + self.b2 * xm2
+        # feedback: s[n] = A s[n-1] + [f[n], 0], s = (y[n], y[n-1])
+        A = jnp.broadcast_to(
+            jnp.stack([jnp.stack([-self.a1, -self.a2]),
+                       jnp.stack([jnp.float32(1.0), jnp.float32(0.0)])]),
+            (C, B, 2, 2))
+        bv = jnp.stack([f, jnp.zeros_like(f)], axis=-1)       # [C, B, 2]
+
+        def combine(lhs, rhs):
+            A1, b1v = lhs
+            A2, b2v = rhs
+            return A2 @ A1, jnp.einsum("...ij,...j->...i", A2, b1v) + b2v
+
+        A_cum, b_cum = jax.lax.associative_scan(combine, (A, bv), axis=1)
+        s0 = jnp.stack([y1, y2], axis=-1)                     # [C, 2]
+        y = (jnp.einsum("cbij,cj->cbi", A_cum, s0) + b_cum)[..., 0]
+        return (x[:, -1], x[:, -2], y[:, -1], y[:, -2]), y
+
+
+@struct.dataclass
 class Preemphasis:
     """First-difference pre-emphasis y[n] = x[n] - c*x[n-1] (~6 dB/octave,
     parity: microphone.c:452-465).  State is x_prev [C]."""
