@@ -72,6 +72,105 @@ class NoiseBlanker:
 
 
 @struct.dataclass
+class SpectralNoiseBlanker:
+    """Spectral noise blanker: excise impulse energy in the STFT domain
+    (parity wdsp/snb.c, 855 LoC — detect/interpolate corrupted bins).
+
+    Impulses are broadband: a frame whose broadband power jumps far above
+    the tracked background is flagged, the flag is dilated one frame each
+    way (the window-attenuated halves of a straddling hit are too weak to
+    trip the detector but strong enough to click), and flagged frames'
+    spectra are replaced by the last clean frame's — so carriers and voice
+    running through the hit survive where a time blanker would notch them.
+    Dilation also guarantees the stored "clean" spectrum never holds
+    sub-threshold impulse leakage.  sqrt-Hann STFT at 50% overlap.
+
+    State: (in_tail [C,H], out_tail [C,H], bg_power [C], prev frame flagged
+    [C], last clean spectrum re/im [C,F]).
+    """
+
+    window: jnp.ndarray
+    fft: int = struct.field(pytree_node=False)
+    block: int = struct.field(pytree_node=False)
+    k_detect: float = struct.field(pytree_node=False)
+    bg_rate: float = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, block: int, fft: int = 256, k_detect: float = 8.0,
+               bg_rate: float = 0.05):
+        if block % (fft // 2):
+            raise ValueError("block must be a multiple of fft/2")
+        w = np.sqrt(np.hanning(fft + 1)[:fft])
+        return cls(window=jnp.asarray(w, jnp.float32), fft=fft, block=block,
+                   k_detect=float(k_detect), bg_rate=float(bg_rate))
+
+    def init_state(self, channels: int):
+        H = self.fft // 2
+        F = self.fft // 2 + 1
+        return (jnp.zeros((channels, H), jnp.float32),
+                jnp.zeros((channels, H), jnp.float32),
+                # background starts HIGH and falls onto the clean level —
+                # starting low would flag every frame and never update
+                jnp.full((channels,), 1e6, jnp.float32),
+                jnp.zeros((channels,), jnp.float32),
+                jnp.zeros((channels, F), jnp.float32),
+                jnp.zeros((channels, F), jnp.float32))
+
+    def __call__(self, state, a: jnp.ndarray):
+        in_tail, out_tail, bg, prev_bad, clean_re, clean_im = state
+        C = a.shape[0]
+        H = self.fft // 2
+        nfrm = a.shape[-1] // H
+        ext = jnp.concatenate([in_tail, a], axis=-1)
+        idx = (jnp.arange(nfrm) * H)[:, None] + jnp.arange(self.fft)[None, :]
+        frames = ext[:, idx] * self.window
+        X = jnp.fft.rfft(frames, axis=-1)
+        pw = jnp.mean(jnp.abs(X) ** 2, axis=-1)       # [C, nfrm]
+
+        def frame_step(carry, p):
+            bg = carry
+            bad = (p > self.k_detect * bg).astype(jnp.float32)
+            # background tracks only clean frames: rises slowly (impulse
+            # tails must not lift it) but falls fast (so the high initial
+            # value converges within ~20 frames)
+            rate = jnp.where(p > bg, self.bg_rate, 0.5)
+            bg = jnp.where(bad > 0, bg, bg + rate * (p - bg))
+            return bg, bad
+
+        bg, badf = jax.lax.scan(frame_step, bg, jnp.moveaxis(pw, 1, 0))
+        badf = jnp.moveaxis(badf, 0, 1)               # [C, nfrm]
+        # dilate one frame each way: a hit's window-attenuated half in the
+        # neighbouring frame is blanked even when under threshold (the
+        # backward edge of frame 0 uses the previous block's last flag)
+        left = jnp.concatenate([prev_bad[:, None], badf[:, :-1]], axis=-1)
+        right = jnp.concatenate([badf[:, 1:], badf[:, -1:]], axis=-1)
+        dil = jnp.maximum(badf, jnp.maximum(left, right))
+        prev_bad = badf[:, -1]
+
+        # substitute flagged frames with the last clean frame's spectrum
+        def subst_step(carry, xs):
+            cre, cim = carry
+            xre, xim, d = xs
+            yre = jnp.where(d[:, None] > 0, cre, xre)
+            yim = jnp.where(d[:, None] > 0, cim, xim)
+            cre = jnp.where(d[:, None] > 0, cre, xre)
+            cim = jnp.where(d[:, None] > 0, cim, xim)
+            return (cre, cim), (yre, yim)
+
+        (clean_re, clean_im), (yre, yim) = jax.lax.scan(
+            subst_step, (clean_re, clean_im),
+            (jnp.moveaxis(jnp.real(X), 1, 0), jnp.moveaxis(jnp.imag(X), 1, 0),
+             jnp.moveaxis(dil, 1, 0)))
+        Y = jax.lax.complex(jnp.moveaxis(yre, 0, 1), jnp.moveaxis(yim, 0, 1))
+        y = jnp.fft.irfft(Y, n=self.fft, axis=-1) * self.window
+        out = jnp.zeros((C, (nfrm + 1) * H), jnp.float32)
+        out = out.at[:, idx].add(y)
+        out = out.at[:, :H].add(out_tail)
+        return ((ext[:, ext.shape[-1] - H:], out[:, nfrm * H:(nfrm + 1) * H],
+                 bg, prev_bad, clean_re, clean_im), out[:, : nfrm * H])
+
+
+@struct.dataclass
 class AutoNotch:
     """Automatic multi-tone notch on audio blocks.
 
