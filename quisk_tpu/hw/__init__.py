@@ -1,0 +1,20 @@
+"""Hardware control plugins.
+
+Parity: the reference's per-radio control plane — a ``Hardware`` class with
+a fixed API instantiated from config (quisk_hardware_model.py:17-150,
+chosen at quisk.py:3863-3883) plus per-radio implementations (hiqsdr/,
+hermes/, softrock/, …).  Here the same plugin concept with a registry:
+config names a hardware key, the framework instantiates it, and the sample
+plane (quisk_tpu.io.native framing + ring buffers) is shared.
+"""
+
+from quisk_tpu.hw.base import (FileHardware, Hardware, SimHardware,
+                               get_hardware, register_hardware)
+from quisk_tpu.hw.hermes import HermesControl, HermesHardware
+from quisk_tpu.hw.hiqsdr import HiqsdrControl, HiqsdrHardware
+
+__all__ = [
+    "Hardware", "FileHardware", "SimHardware",
+    "register_hardware", "get_hardware",
+    "HiqsdrControl", "HiqsdrHardware", "HermesControl", "HermesHardware",
+]

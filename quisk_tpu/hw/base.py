@@ -1,0 +1,197 @@
+"""Hardware plugin base class and registry.
+
+Parity: quisk_hardware_model.py — the reference defines one ``Hardware``
+base class whose methods the app calls at well-known moments (open/close,
+ChangeFrequency/ChangeMode/ChangeBand, HeartBeat ~10 Hz, variable-decimation
+negotiation, GetRxSamples polling).  User configs may substitute any
+subclass.  Here the same lifecycle, minus wx: methods return plain values,
+and sample delivery is pull-based ``read_samples`` yielding ``[C, B]``
+complex blocks for the TPU ingest path.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+
+_REGISTRY: dict[str, Callable[..., "Hardware"]] = {}
+
+
+def register_hardware(name: str):
+    """Class decorator: register a Hardware implementation under a key."""
+
+    def deco(cls):
+        _REGISTRY[name] = cls
+        return cls
+
+    return deco
+
+
+def get_hardware(name: str) -> Callable[..., "Hardware"]:
+    try:
+        return _REGISTRY[name]
+    except KeyError:
+        raise KeyError(f"unknown hardware {name!r}; known: {sorted(_REGISTRY)}")
+
+
+class Hardware:
+    """Lifecycle + control API (parity quisk_hardware_model.py:17-150).
+
+    Subclasses override what their radio needs; every method has a safe
+    default so a minimal plugin only implements ``open``/``read_samples``.
+    """
+
+    #: populated by open(): text shown to the user (ref: return of open())
+    status_text: str = ""
+
+    def __init__(self, conf=None):
+        self.conf = conf
+        self.vfo_frequency = 0
+        self.tx_frequency = 0
+        self.mode = "USB"
+        self.band = ""
+
+    # ---- lifecycle ------------------------------------------------------
+    def pre_open(self) -> None:
+        """Called before open (ref quisk.py:4279)."""
+
+    def open(self) -> str:
+        """Connect to the radio; return status text."""
+        return self.status_text
+
+    def post_open(self) -> None:
+        """Called after the sample stream starts (ref quisk.py:4345)."""
+
+    def close(self) -> None:
+        pass
+
+    # ---- control --------------------------------------------------------
+    def ChangeFrequency(self, tx_freq: int, vfo_freq: int,
+                        source: str = "", band: str = "") -> tuple[int, int]:
+        """Request new tx/VFO frequency; returns what was actually set."""
+        self.tx_frequency, self.vfo_frequency = tx_freq, vfo_freq
+        return tx_freq, vfo_freq
+
+    def ReturnFrequency(self) -> tuple[int | None, int | None]:
+        """Hardware-initiated tuning (ref model: return None, None when
+        the radio did not change frequency on its own)."""
+        return None, None
+
+    def ChangeMode(self, mode: str) -> None:
+        self.mode = mode
+
+    def ChangeBand(self, band: str) -> None:
+        self.band = band
+
+    def OnButtonPTT(self, pressed: bool) -> None:
+        pass
+
+    def OnSpot(self, level: int) -> None:
+        pass
+
+    def HeartBeat(self) -> None:
+        """Called ~10 Hz from the app loop (ref quisk.py:6832)."""
+
+    # ---- variable decimation (ref VarDecim* negotiation) ----------------
+    def VarDecimGetChoices(self) -> list[int]:
+        """Selectable input sample rates, if the radio supports several."""
+        return []
+
+    def VarDecimGetIndex(self) -> int:
+        return 0
+
+    def VarDecimSet(self, index: int) -> float:
+        """Choose a rate by index; returns the new input sample rate."""
+        raise NotImplementedError
+
+    # ---- sample plane ---------------------------------------------------
+    def StartSamples(self) -> None:
+        pass
+
+    def StopSamples(self) -> None:
+        pass
+
+    def read_samples(self, n: int) -> np.ndarray | None:
+        """Pull up to ``[n_rx, n]`` complex64 samples; None when starved."""
+        return None
+
+
+@register_hardware("fixed")
+class FixedHardware(Hardware):
+    """No-control hardware (parity quisk_hardware_fixed.py): frequencies
+    are bookkeeping only; samples come from elsewhere (file/soundcard)."""
+
+
+@register_hardware("file")
+class FileHardware(Hardware):
+    """IQ WAV replay (parity: the reference's FILE_PLAY_SAMPLES path,
+    sound.c:987, quisk.c:1538-1576 — running the whole RX chain from a
+    recorded file with no hardware)."""
+
+    def __init__(self, conf=None, path: str | None = None, loop: bool = True):
+        super().__init__(conf)
+        self.path = path or getattr(conf, "playback_file", None)
+        self.loop = loop
+        self.iq = None
+        self.pos = 0
+        self.sample_rate = 0.0
+
+    def open(self) -> str:
+        from quisk_tpu.io import wav
+        self.iq, self.sample_rate = wav.read_iq_wav(self.path)
+        self.iq = self.iq.astype(np.complex64)
+        self.status_text = (f"file {self.path}: {len(self.iq)} samples "
+                            f"@ {self.sample_rate:.0f} Hz")
+        return self.status_text
+
+    def read_samples(self, n: int) -> np.ndarray | None:
+        if self.iq is None:
+            return None
+        out = np.empty(n, np.complex64)
+        got = 0
+        while got < n:
+            take = min(n - got, len(self.iq) - self.pos)
+            if take <= 0:
+                if not self.loop:
+                    return None if got == 0 else out[None, :got]
+                self.pos = 0
+                continue
+            out[got:got + take] = self.iq[self.pos:self.pos + take]
+            self.pos += take
+            got += take
+        return out[None]
+
+
+@register_hardware("sim")
+class SimHardware(Hardware):
+    """Synthetic signal source (parity: the reference's test tone
+    AddTestTone quisk.c:1258 and IMD generators): emits a tone at a
+    settable offset from the VFO plus noise — deterministic, for tests and
+    demos."""
+
+    def __init__(self, conf=None, sample_rate: float = 48000.0,
+                 tone_hz: float = 10000.0, amplitude: float = 0.5,
+                 noise: float = 1e-4, n_rx: int = 1):
+        super().__init__(conf)
+        self.sample_rate = sample_rate
+        self.tone_hz = tone_hz
+        self.amplitude = amplitude
+        self.noise = noise
+        self.n_rx = n_rx
+        self._phase = 0.0
+        self._rng = np.random.default_rng(12345)
+
+    def open(self) -> str:
+        self.status_text = f"sim source @ {self.sample_rate:.0f} Hz"
+        return self.status_text
+
+    def read_samples(self, n: int) -> np.ndarray:
+        w = 2.0 * np.pi * self.tone_hz / self.sample_rate
+        ph = self._phase + w * np.arange(n)
+        self._phase = float((ph[-1] + w) % (2.0 * np.pi))
+        sig = self.amplitude * np.exp(1j * ph)
+        out = np.broadcast_to(sig, (self.n_rx, n)).copy()
+        out += self.noise * (self._rng.standard_normal((self.n_rx, n))
+                             + 1j * self._rng.standard_normal((self.n_rx, n)))
+        return out.astype(np.complex64)
