@@ -44,7 +44,11 @@ def cmd_rx(args) -> int:
     iq, fs = wav.read_iq_wav(args.inp)
     mode = Mode[args.mode]
     cfg = RxChainConfig(sample_rate=fs, channels=1, agc=not args.no_agc,
-                        fm_deviation_hz=args.fm_deviation)
+                        fm_deviation_hz=args.fm_deviation,
+                        noise_blanker=args.nb, auto_notch=args.notch,
+                        nr=args.nr, anf=args.anf,
+                        squelch=args.squelch > 0,
+                        squelch_threshold=args.squelch or 1.2)
     chain = RxChain.create(cfg, tune_hz=[args.tune], mode=int(mode),
                            bandwidth_hz=[args.bandwidth] if args.bandwidth else None)
     n = len(iq) // chain.block_in * chain.block_in
@@ -140,6 +144,13 @@ def main(argv=None) -> int:
     _add_common(p)
     p.add_argument("--no-agc", action="store_true")
     p.add_argument("--fm-deviation", type=float, default=2500.0)
+    p.add_argument("--nb", type=int, default=0, choices=(0, 1, 2, 3),
+                   help="noise blanker level")
+    p.add_argument("--notch", action="store_true", help="auto-notch")
+    p.add_argument("--nr", action="store_true", help="spectral NR")
+    p.add_argument("--anf", action="store_true", help="LMS auto-notch")
+    p.add_argument("--squelch", type=float, default=0.0,
+                   help="SSB squelch threshold (0 = off)")
     p.set_defaults(fn=cmd_rx)
 
     p = sub.add_parser("tx", help="modulate audio WAV to IQ")

@@ -38,6 +38,8 @@ class RadioConfig:
     squelch_threshold: float = 1.2
     noise_blanker: int = 0            # 0=off, 1/2/3 = level (quisk.c:716)
     auto_notch: bool = False
+    nr: bool = False                  # spectral noise reduction (NR2)
+    anf: bool = False                 # LMS auto-notch filter
     fm_deviation_hz: float = 2500.0
     cw_pitch: float = 600.0
     filter_taps: int = 1025
@@ -47,6 +49,18 @@ class RadioConfig:
 
     def modes(self) -> Mode:
         return Mode[self.mode]
+
+    def rx_chain_config(self):
+        """Build the RxChainConfig this radio describes."""
+        from quisk_tpu.rx import RxChainConfig
+        return RxChainConfig(
+            sample_rate=self.sample_rate, channels=self.channels,
+            audio_rate=self.audio_rate, audio_block=self.audio_block,
+            filter_taps=self.filter_taps, agc=self.agc,
+            fm_deviation_hz=self.fm_deviation_hz, cw_pitch=self.cw_pitch,
+            noise_blanker=self.noise_blanker, auto_notch=self.auto_notch,
+            nr=self.nr, anf=self.anf, squelch=self.squelch,
+            squelch_threshold=self.squelch_threshold)
 
     def to_json(self) -> dict[str, Any]:
         return dataclasses.asdict(self)

@@ -28,7 +28,9 @@ from quisk_tpu.ops.agc import AGC
 from quisk_tpu.ops.demod import MixedDemod
 from quisk_tpu.ops.fir import ConvFIR, OverlapSaveFIR
 from quisk_tpu.ops.nco import NCO
+from quisk_tpu.ops.noise import AutoNotch, NoiseBlanker
 from quisk_tpu.ops.resample import FracDecim
+from quisk_tpu.ops.squelch import SSBSquelch
 from quisk_tpu.rx.planner import DecimPlan, plan_block_sizes, plan_decimation
 
 
@@ -64,6 +66,15 @@ class RxChainConfig:
     fm_deviation_hz: float = 5000.0
     cw_pitch: float = CW_PITCH
     decim_atten_db: float = 100.0
+    # optional processing stages (parity: the reference inserts these into
+    # its RX path — NB on raw IQ quisk.c:2449, auto-notch quisk.c:794,
+    # WDSP NR/ANF on audio, squelch muting quisk.c:2711)
+    noise_blanker: int = 0               # 0=off, 1/2/3 = level
+    auto_notch: bool = False
+    nr: bool = False                     # spectral noise reduction (NR2)
+    anf: bool = False                    # LMS auto-notch
+    squelch: bool = False
+    squelch_threshold: float = 1.2
 
 
 @struct.dataclass
@@ -76,6 +87,11 @@ class RxChain:
     frac: FracDecim | None
     demod: MixedDemod
     agc: AGC | None
+    nb: NoiseBlanker | None               # on raw IQ, pre-tune
+    notch: AutoNotch | None               # on audio
+    nr: "object"                          # SpectralNR | None, on audio
+    anf: "object"                         # BlockLMS | None, on audio
+    squelch: SSBSquelch | None            # last: mutes audio
     # static metadata
     channels: int = struct.field(pytree_node=False)
     block_in: int = struct.field(pytree_node=False)
@@ -130,26 +146,57 @@ class RxChain:
         demod = MixedDemod.create(modes, plan.fs_out, C,
                                   config.fm_deviation_hz)
         agc = AGC.create(plan.fs_out) if config.agc else None
+        nb = (NoiseBlanker.create(config.sample_rate, config.noise_blanker)
+              if config.noise_blanker else None)
+        notch = AutoNotch.create(B_audio) if config.auto_notch else None
+        nr = None
+        if config.nr:
+            from quisk_tpu.ops.nr import SpectralNR
+            nr = SpectralNR.create(B_audio)
+        anf = None
+        if config.anf:
+            from quisk_tpu.ops.nr import BlockLMS
+            anf = BlockLMS.create(B_audio, notch=True)
+        squelch = (SSBSquelch.create(plan.fs_out, B_audio,
+                                     config.squelch_threshold)
+                   if config.squelch else None)
         return cls(nco=nco, stages=tuple(stages), bp=bp, frac=frac,
-                   demod=demod, agc=agc, channels=C, block_in=B_in,
+                   demod=demod, agc=agc, nb=nb, notch=notch, nr=nr, anf=anf,
+                   squelch=squelch, channels=C, block_in=B_in,
                    block_audio=B_audio, fs_audio=plan.fs_out)
 
     # ---------------------------------------------------------------- state
     def init_state(self):
         C = self.channels
+
+        def st(op):
+            return op.init_state(C) if op is not None else ()
+
         return {
             "nco": self.nco.init_state(C),
             "stages": tuple(s.init_state(C) for s in self.stages),
             "bp": self.bp.init_state(C),
             "frac": self.frac.init_state(C) if self.frac else (),
             "demod": self.demod.init_state(C),
-            "agc": self.agc.init_state(C) if self.agc else (),
+            "agc": st(self.agc),
+            "nb": st(self.nb),
+            "notch": st(self.notch),
+            "nr": st(self.nr),
+            "anf": st(self.anf),
+            "squelch": st(self.squelch),
         }
 
     # ----------------------------------------------------------------- step
     def step(self, state, x: jnp.ndarray):
-        """One block: x [C, block_in] complex IQ -> audio [C, block_audio]."""
+        """One block: x [C, block_in] complex IQ -> audio [C, block_audio].
+
+        Stage order mirrors the reference RX path (quisk.c:2289): blanker
+        on raw IQ, tune, decimate, channel filter, demodulate, then the
+        audio processors (notch/ANF/NR before AGC, squelch muting last).
+        """
         st = dict(state)
+        if self.nb is not None:
+            st["nb"], x = self.nb(st["nb"], x)
         st["nco"], y = self.nco(st["nco"], x)
         new_stage_states = []
         for op, s in zip(self.stages, st["stages"]):
@@ -160,8 +207,16 @@ class RxChain:
         if self.frac is not None:
             st["frac"], y = self.frac(st["frac"], y)
         st["demod"], audio = self.demod(st["demod"], y)
+        if self.notch is not None:
+            st["notch"], audio = self.notch(st["notch"], audio)
+        if self.anf is not None:
+            st["anf"], audio = self.anf(st["anf"], audio)
+        if self.nr is not None:
+            st["nr"], audio = self.nr(st["nr"], audio)
         if self.agc is not None:
             st["agc"], audio = self.agc(st["agc"], audio)
+        if self.squelch is not None:
+            st["squelch"], audio = self.squelch(st["squelch"], audio)
         return st, audio
 
     def process(self, state, iq: jnp.ndarray):
