@@ -54,3 +54,135 @@ class GraphService:
 
     def freqs(self) -> np.ndarray:
         return self.sa.freqs(self.sample_rate)
+
+
+# ------------------------------------------------------------- waterfall
+def waterfall_palette(n: int = 256) -> np.ndarray:
+    """[n, 3] uint8 palette, black->blue->green->yellow->red->white (the
+    reference's default waterfall color ramp, quisk.c watfall_RgbData)."""
+    stops = np.array([[0, 0, 0], [0, 0, 160], [0, 160, 160], [0, 200, 0],
+                      [230, 230, 0], [240, 0, 0], [255, 255, 255]],
+                     np.float64)
+    pos = np.linspace(0.0, 1.0, len(stops))
+    t = np.linspace(0.0, 1.0, n)
+    rgb = np.stack([np.interp(t, pos, stops[:, c]) for c in range(3)], axis=1)
+    return rgb.astype(np.uint8)
+
+
+class WaterfallRenderer:
+    """dB rows -> scrolling RGB pixel rows (parity quisk.c:5334-5480:
+    C-side circular RGB row buffer with palette mapping and scroll).
+
+    Rows are stored newest-first; :meth:`pixels` returns [rows, pixels, 3]
+    uint8 ready for any frontend.
+    """
+
+    def __init__(self, pixels: int, rows: int = 256,
+                 floor_db: float = -140.0, range_db: float = 80.0):
+        self.palette = waterfall_palette()
+        self.rows = rows
+        self.floor_db = floor_db
+        self.range_db = range_db
+        self.buf = np.zeros((rows, pixels, 3), np.uint8)
+        self._count = 0
+
+    def add_row(self, db_row: np.ndarray) -> None:
+        idx = np.clip((np.asarray(db_row) - self.floor_db) / self.range_db
+                      * 255.0, 0.0, 255.0).astype(np.uint8)
+        self.buf = np.roll(self.buf, 1, axis=0)
+        self.buf[0] = self.palette[idx]
+        self._count = min(self._count + 1, self.rows)
+
+    def pixels(self) -> np.ndarray:
+        return self.buf[: self._count]
+
+
+# ------------------------------------------------------------ scan mode
+class ScanStitcher:
+    """Stitch successive frequency blocks into one wide spectrum (parity
+    quisk.c:5194-5198, 5246-5266 'scan mode': the VFO steps across a wide
+    span; each dwell contributes the valid fraction of its FFT; segments
+    are concatenated into one trace).
+    """
+
+    def __init__(self, n_blocks: int, pixels_per_block: int,
+                 valid_fraction: float = 0.84):
+        self.n_blocks = n_blocks
+        self.ppb = pixels_per_block
+        self.valid = valid_fraction
+        self.trace = np.full((n_blocks, pixels_per_block), -180.0)
+        self.filled = np.zeros(n_blocks, bool)
+
+    def add_block(self, index: int, db_pixels: np.ndarray) -> None:
+        """db_pixels: [P] full-span pixels for VFO step `index`; only the
+        central valid fraction is kept (filter skirts trimmed)."""
+        P = len(db_pixels)
+        keep = int(P * self.valid)
+        lo = (P - keep) // 2
+        seg = db_pixels[lo: lo + keep]
+        # resample the kept segment onto this block's pixel slots
+        xi = np.linspace(0, keep - 1, self.ppb)
+        self.trace[index] = np.interp(xi, np.arange(keep), seg)
+        self.filled[index] = True
+
+    def complete(self) -> bool:
+        return bool(self.filled.all())
+
+    def spectrum(self) -> np.ndarray:
+        """[n_blocks * pixels_per_block] stitched wide trace."""
+        return self.trace.reshape(-1)
+
+
+# ------------------------------------------------------------- bandscope
+class BandscopeService:
+    """Wideband raw-ADC spectrum (parity quisk.c:2875/2959/4957: Hermes
+    EP4 frames -> window+FFT+average -> zoomed pixels).  Real input (raw
+    ADC), rFFT, running average, same palette/zoom machinery as the graph.
+    """
+
+    def __init__(self, fft_size: int, clock_hz: float, pixels: int = 1024):
+        self.fft = fft_size
+        self.clock = clock_hz
+        self.pixels = pixels
+        self.window = np.hanning(fft_size)
+        self.accum = np.zeros(fft_size // 2 + 1)
+        self.count = 0
+
+    def add_samples(self, adc: np.ndarray) -> None:
+        n = len(adc) // self.fft * self.fft
+        if n == 0:
+            return
+        frames = adc[:n].reshape(-1, self.fft) * self.window
+        S = np.abs(np.fft.rfft(frames, axis=-1)) ** 2
+        self.accum += S.sum(axis=0)
+        self.count += S.shape[0]
+
+    def spectrum_db(self, zoom: float = 1.0,
+                    center_frac: float = 0.5) -> np.ndarray | None:
+        """[pixels] averaged dB trace over [0, clock/2], or None if empty."""
+        if not self.count:
+            return None
+        # full-scale sine reads 0 dB: each frame's peak |rfft| is
+        # A * sum(hann)/2 = A * fft/4, power accumulates linearly in count
+        scale = self.count * (self.fft / 4.0) ** 2
+        db = 10.0 * np.log10(self.accum / scale + 1e-30)
+        F = len(db)
+        span = max(int(F / zoom), self.pixels)
+        lo = int(np.clip(center_frac * F - span / 2, 0, F - span))
+        seg = db[lo: lo + span]
+        edges = np.linspace(0, len(seg), self.pixels + 1).astype(int)
+        out = np.array([seg[a:b].max() if b > a else seg[min(a, len(seg)-1)]
+                        for a, b in zip(edges[:-1], edges[1:])])
+        self.accum[:] = 0.0
+        self.count = 0
+        return out
+
+    def freqs(self) -> np.ndarray:
+        return np.linspace(0.0, self.clock / 2.0, self.pixels)
+
+
+def measure_audio_rms(audio: np.ndarray) -> np.ndarray:
+    """RMS audio level per channel (parity quisk.c:3193 measure_audio /
+    2155-2158 audio power metering)."""
+    a = np.asarray(audio)
+    return np.sqrt(np.mean(a * a, axis=-1))

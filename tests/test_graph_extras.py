@@ -1,0 +1,61 @@
+"""Tests: waterfall renderer, scan stitching, bandscope, audio metering."""
+
+import numpy as np
+
+from quisk_tpu.app.graph import (BandscopeService, ScanStitcher,
+                                 WaterfallRenderer, measure_audio_rms,
+                                 waterfall_palette)
+
+
+def test_waterfall_palette_and_rows():
+    pal = waterfall_palette()
+    assert pal.shape == (256, 3) and pal.dtype == np.uint8
+    assert tuple(pal[0]) == (0, 0, 0)
+    assert tuple(pal[-1]) == (255, 255, 255)
+    wf = WaterfallRenderer(pixels=64, rows=8, floor_db=-100, range_db=100)
+    wf.add_row(np.full(64, -100.0))        # floor -> black
+    assert np.all(wf.pixels()[0] == 0)
+    wf.add_row(np.full(64, 0.0))           # top -> white
+    assert np.all(wf.pixels()[0] == 255)
+    # newest first, scrolled
+    assert np.all(wf.pixels()[1] == 0)
+    for _ in range(10):
+        wf.add_row(np.full(64, -60.0))
+    assert wf.pixels().shape == (8, 64, 3)
+
+
+def test_scan_stitcher():
+    st = ScanStitcher(n_blocks=4, pixels_per_block=100)
+    assert not st.complete()
+    for k in range(4):
+        st.add_block(k, np.full(256, float(k)))
+    assert st.complete()
+    spec = st.spectrum()
+    assert spec.shape == (400,)
+    assert np.allclose(spec[:100], 0.0) and np.allclose(spec[300:], 3.0)
+
+
+def test_bandscope_finds_tone():
+    clock = 122_880_000.0
+    bs = BandscopeService(fft_size=4096, clock_hz=clock, pixels=512)
+    f0 = 10e6
+    n = 8 * 4096
+    t = np.arange(n) / clock
+    bs.add_samples(0.5 * np.sin(2 * np.pi * f0 * t))
+    db = bs.spectrum_db()
+    freqs = bs.freqs()
+    k = np.argmax(db)
+    assert abs(freqs[k] - f0) < clock / 2 / 512 * 2
+    assert db[k] > -12.0                    # ~ -6 dBFS for 0.5 amplitude
+    far = db[np.abs(freqs - f0) > 5e6]
+    assert db[k] - np.max(far) > 40.0
+    # averaging buffer reset after read
+    assert bs.spectrum_db() is None
+
+
+def test_measure_audio_rms():
+    a = np.stack([np.sin(2 * np.pi * 0.01 * np.arange(48000)),
+                  0.5 * np.ones(48000)])
+    rms = measure_audio_rms(a)
+    assert abs(rms[0] - 1 / np.sqrt(2)) < 1e-3
+    assert abs(rms[1] - 0.5) < 1e-9
