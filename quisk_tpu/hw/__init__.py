@@ -12,9 +12,12 @@ from quisk_tpu.hw.base import (FileHardware, Hardware, SimHardware,
                                get_hardware, register_hardware)
 from quisk_tpu.hw.hermes import HermesControl, HermesHardware
 from quisk_tpu.hw.hiqsdr import HiqsdrControl, HiqsdrHardware
+from quisk_tpu.hw.sdriq import SdriqHardware
+from quisk_tpu.hw.softrock import SoftrockHardware
 
 __all__ = [
     "Hardware", "FileHardware", "SimHardware",
     "register_hardware", "get_hardware",
     "HiqsdrControl", "HiqsdrHardware", "HermesControl", "HermesHardware",
+    "SoftrockHardware", "SdriqHardware",
 ]
