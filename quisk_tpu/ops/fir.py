@@ -177,12 +177,93 @@ class ConvFIR:
         return new_hist, y
 
 
+@struct.dataclass
+class MatmulFIR:
+    """Decimating FIR as a blocked-Toeplitz matmul — the MXU formulation.
+
+    A length-1 feature conv never reaches the systolic array; instead the
+    input is cut into overlapping patches of K = R*decim + T - 1 samples
+    (one patch per R consecutive outputs, ~(1 + T/(R*decim))x memory) and
+    multiplied by a constant [K, R] tap matrix M with
+    ``M[k, r] = h_rev[k - r*decim]``:
+
+        y[c, i*R + r] = sum_k patches[c, i, k] * M[k, r]
+
+    Real taps; complex input rides as stacked I/Q rows (a plain f32
+    contraction).  Numerically identical to ConvFIR (same dot order up to
+    f32 reassociation); several times faster for the decimation stages at
+    wide blocks.
+    """
+
+    M: jnp.ndarray                                       # [K, R] float32
+    ntaps: int = struct.field(pytree_node=False)
+    block: int = struct.field(pytree_node=False)
+    decim: int = struct.field(pytree_node=False)
+    R: int = struct.field(pytree_node=False)
+    complex_state: bool = struct.field(pytree_node=False, default=True)
+
+    @classmethod
+    def create(cls, taps, block: int, decim: int = 1,
+               complex_state: bool = True, R: int = 128):
+        taps = np.asarray(taps, np.float64)
+        if np.iscomplexobj(taps):
+            raise ValueError("MatmulFIR takes real taps (use OLS for complex)")
+        T = taps.shape[-1]
+        n_out = block // decim
+        while n_out % R:
+            R //= 2
+        K = R * decim + T - 1
+        h_rev = taps[::-1]
+        M = np.zeros((K, R), np.float32)
+        for r in range(R):
+            M[r * decim: r * decim + T, r] = h_rev
+        return cls(M=jnp.asarray(M), ntaps=T, block=block, decim=decim,
+                   R=R, complex_state=complex_state)
+
+    def init_state(self, channels: int):
+        if self.complex_state:
+            return np.zeros((channels, self.ntaps - 1), np.complex64)
+        return jnp.zeros((channels, self.ntaps - 1), jnp.float32)
+
+    def __call__(self, hist: jnp.ndarray, x: jnp.ndarray):
+        """hist [C, T-1], x [C, B] -> (hist', y [C, B/decim]); output
+        alignment identical to ConvFIR (true convolution, stream phase
+        continued across blocks)."""
+        xe = jnp.concatenate([hist, x], axis=-1)
+        new_hist = xe[..., xe.shape[-1] - (self.ntaps - 1):]
+        C = x.shape[0]
+        K, R = self.M.shape
+        nblk = (self.block // self.decim) // R
+        idx = (jnp.arange(nblk) * (R * self.decim))[:, None] \
+            + jnp.arange(K)[None, :]
+        if jnp.iscomplexobj(xe):
+            lhs = jnp.concatenate(
+                [jnp.real(xe), jnp.imag(xe)], axis=0).astype(jnp.float32)
+            patches = lhs[:, idx]                        # [2C, nblk, K]
+            y = jax.lax.dot_general(
+                patches, self.M, (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [2C, nblk, R]
+            y = y.reshape(2 * C, -1)
+            return new_hist, jax.lax.complex(y[:C], y[C:])
+        patches = xe.astype(jnp.float32)[:, idx]
+        y = jax.lax.dot_general(
+            patches, self.M, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(C, -1)
+        return new_hist, y
+
+
 def make_fir(taps, block: int, decim: int = 1, complex_state: bool = True,
              method: str = "auto"):
-    """Pick the FIR engine: conv for short kernels, overlap-save for long."""
+    """Pick the FIR engine: MXU matmul for real-tap decimators, conv for
+    short kernels, overlap-save for long complex ones."""
     taps = np.asarray(taps)
     if method == "auto":
-        method = "conv" if taps.shape[-1] <= 192 or decim > 4 else "ols"
+        if not np.iscomplexobj(taps) and decim > 1:
+            method = "matmul"
+        else:
+            method = "conv" if taps.shape[-1] <= 192 or decim > 4 else "ols"
+    if method == "matmul":
+        return MatmulFIR.create(taps, block, decim, complex_state)
     if method == "conv":
         return ConvFIR.create(taps, block, decim, complex_state)
     if method == "ols":

@@ -26,7 +26,7 @@ from quisk_tpu.modes import CW_PITCH, DEFAULT_BANDWIDTH, Mode
 from quisk_tpu.ops import design
 from quisk_tpu.ops.agc import AGC
 from quisk_tpu.ops.demod import MixedDemod
-from quisk_tpu.ops.fir import ConvFIR, OverlapSaveFIR
+from quisk_tpu.ops.fir import ConvFIR, OverlapSaveFIR, make_fir
 from quisk_tpu.ops.nco import NCO
 from quisk_tpu.ops.noise import AutoNotch, NoiseBlanker
 from quisk_tpu.ops.resample import FracDecim
@@ -119,7 +119,8 @@ class RxChain:
             else:
                 taps = design.decimator(d, fs_stage,
                                         atten_db=config.decim_atten_db)
-            stages.append(ConvFIR.create(taps, b, decim=d))
+            # real-tap decimators run as MXU matmuls (MatmulFIR)
+            stages.append(make_fir(taps, b, decim=d))
             b //= d
         assert b == B_mid
 
