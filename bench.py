@@ -41,16 +41,18 @@ def main():
         mode=[modes[i % 4] for i in range(C)],
     )
 
+    NSCAN = 8                # blocks per dispatch (lax.scan) — streaming
     rng = np.random.default_rng(0)
-    x = (rng.standard_normal((C, chain.block_in))
-         + 1j * rng.standard_normal((C, chain.block_in))).astype(np.complex64)
+    x = (rng.standard_normal((C, chain.block_in * NSCAN))
+         + 1j * rng.standard_normal((C, chain.block_in * NSCAN))
+         ).astype(np.complex64)
 
     # No complex64 may cross the host<->device boundary on the axon TPU
     # runtime: chain/state/input are packed into (re, im) float32 pairs and
     # rebuilt with lax.complex inside jit (quisk_tpu.utils.boundary).
     from quisk_tpu.utils.boundary import make_boundary_step, pack_tree
 
-    step = make_boundary_step(lambda ch, st, xx: ch.step(st, xx))
+    step = make_boundary_step(lambda ch, st, xx: ch.process(st, xx))
     pchain = pack_tree(chain)
     pstate = pack_tree(chain.init_state())
     px = pack_tree(x)
@@ -70,11 +72,11 @@ def main():
         float(jnp.sum(audio))            # true pipeline sync (tiny fetch)
         return time.perf_counter() - t0
 
-    timed(5)                             # settle queues/caches
-    iters = 50
+    timed(2)                             # settle queues/caches
+    iters = 10
     dt = timed(iters)
 
-    samples = C * chain.block_in * iters
+    samples = C * chain.block_in * NSCAN * iters
     msps = samples / dt / 1e6
     baseline_msps = 1.333  # reference max single-thread input rate
     print(json.dumps({

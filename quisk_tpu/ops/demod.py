@@ -171,6 +171,23 @@ class PLLFMDemod:
         return (ph, fr, de0, notch_st), audio
 
 
+# --------------------------------------------------------------- extdemod
+# Custom demodulator plugin slot (parity extdemod.c: a user-hackable EXT
+# demod compiled into the reference; here a registry of ops).  A custom
+# demod is any (state, x[C,B] complex) -> (state, audio[C,B] float) op
+# with init_state(channels); channels whose mode is Mode.EXT use it.
+_EXT_DEMODS: dict[str, object] = {}
+
+
+def register_ext_demod(name: str, factory) -> None:
+    """factory(sample_rate, channels) -> demod op."""
+    _EXT_DEMODS[name] = factory
+
+
+def get_ext_demod(name: str):
+    return _EXT_DEMODS[name]
+
+
 @struct.dataclass
 class MixedDemod:
     """Per-channel mode selection over a shared ``[C, B]`` batch.
@@ -179,26 +196,33 @@ class MixedDemod:
     FIR work) and the per-channel result selected with masks from the int32
     ``mode`` vector, so one compiled program serves any mode mix — the
     reference's per-mode C switch (quisk.c:1909-2153) with the branches
-    turned into data.
+    turned into data.  An optional EXT plugin demod (extdemod.c parity)
+    handles channels set to Mode.EXT.
     """
 
     ssb: SSBDemod
     am: AMDemod
     fm: FMDemod
+    ext: "object"              # custom demod op | None
     mode: jnp.ndarray          # [C] int32
 
     @classmethod
     def create(cls, mode, sample_rate: float, channels: int,
-               fm_deviation_hz: float = 5000.0):
+               fm_deviation_hz: float = 5000.0, ext_demod: str | None = None):
         m = jnp.broadcast_to(jnp.asarray(mode, jnp.int32), (channels,))
+        ext = (get_ext_demod(ext_demod)(sample_rate, channels)
+               if ext_demod else None)
         return cls(ssb=SSBDemod.create(), am=AMDemod.create(),
-                   fm=FMDemod.create(sample_rate, fm_deviation_hz), mode=m)
+                   fm=FMDemod.create(sample_rate, fm_deviation_hz),
+                   ext=ext, mode=m)
 
     def init_state(self, channels: int):
-        return (self.am.init_state(channels), self.fm.init_state(channels))
+        ext_st = self.ext.init_state(channels) if self.ext is not None else ()
+        return (self.am.init_state(channels), self.fm.init_state(channels),
+                ext_st)
 
     def __call__(self, state, x: jnp.ndarray):
-        am_st, fm_st = state
+        am_st, fm_st, ext_st = state
         _, a_ssb = self.ssb((), x)
         am_st, a_am = self.am(am_st, x)
         fm_st, a_fm = self.fm(fm_st, x)
@@ -206,4 +230,7 @@ class MixedDemod:
         is_am = m == int(Mode.AM)
         is_fm = m == int(Mode.FM)
         audio = jnp.where(is_am, a_am, jnp.where(is_fm, a_fm, a_ssb))
-        return (am_st, fm_st), audio
+        if self.ext is not None:
+            ext_st, a_ext = self.ext(ext_st, x)
+            audio = jnp.where(m == int(Mode.EXT), a_ext, audio)
+        return (am_st, fm_st, ext_st), audio

@@ -75,6 +75,7 @@ class RxChainConfig:
     anf: bool = False                    # LMS auto-notch
     squelch: bool = False
     squelch_threshold: float = 1.2
+    ext_demod: str | None = None         # registered custom demod for EXT
 
 
 @struct.dataclass
@@ -145,7 +146,8 @@ class RxChain:
         frac = FracDecim.create(plan.frac, B_mid) if plan.frac else None
 
         demod = MixedDemod.create(modes, plan.fs_out, C,
-                                  config.fm_deviation_hz)
+                                  config.fm_deviation_hz,
+                                  ext_demod=config.ext_demod)
         agc = AGC.create(plan.fs_out) if config.agc else None
         nb = (NoiseBlanker.create(config.sample_rate, config.noise_blanker)
               if config.noise_blanker else None)
