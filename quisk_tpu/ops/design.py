@@ -139,6 +139,44 @@ def remez_bandpass(ntaps: int, f1: float, f2: float, fs: float,
     return _sig.remez(ntaps, bands, desired, fs=fs)
 
 
+def cic_compensator(ntaps: int, stages: int, decim: int, fs_out: float,
+                    passband_frac: float = 0.4) -> np.ndarray:
+    """FIR equalizing the droop of an N-stage CIC decimator
+    (parity wdsp/icfir.c: the radio hardware decimates with CICs whose
+    sinc^N response sags across the passband; this inverse-sinc^N filter
+    flattens it).
+
+    The compensator runs at the CIC's output rate ``fs_out``; its response
+    is 1/|sinc(pi f / (decim*fs_out) * decim)|^N = 1/|sinc(f/fs_out)|^N
+    over the passband, rolling off beyond ``passband_frac * fs_out``.
+    """
+    if ntaps % 2 == 0:
+        ntaps += 1
+    n = 4096
+    f = np.fft.rfftfreq(n, d=1.0 / fs_out)
+    # CIC magnitude at its output rate (input rate fs_out*decim):
+    # |sin(pi f D / fs_in) / (D sin(pi f / fs_in))|^N
+    fin = fs_out * decim
+    num = np.sin(np.pi * f * decim / fin)
+    den = decim * np.sin(np.pi * f / fin)
+    mag = np.ones_like(f)
+    nz = den != 0.0
+    mag[nz] = np.abs(num[nz] / den[nz])
+    mag[~nz] = 1.0
+    comp = np.zeros_like(f)
+    pb = f <= passband_frac * fs_out
+    comp[pb] = 1.0 / np.maximum(mag[pb], 1e-6) ** stages
+    # soft rolloff to zero between passband edge and fs/2
+    trans = (f > passband_frac * fs_out) & (f < 0.5 * fs_out)
+    if trans.any():
+        tt = (f[trans] - passband_frac * fs_out) / (
+            0.5 * fs_out - passband_frac * fs_out)
+        comp[trans] = comp[pb][-1] * 0.5 * (1.0 + np.cos(np.pi * tt))
+    h = np.fft.irfft(comp, n)
+    h = np.roll(h, ntaps // 2)[:ntaps] * np.blackman(ntaps)
+    return h
+
+
 def freq_response(taps: np.ndarray, fs: float, n: int = 4096):
     """(freqs_hz, complex response) over [-fs/2, fs/2) for design checks."""
     t = np.asarray(taps, dtype=np.complex128)
