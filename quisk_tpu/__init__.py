@@ -26,3 +26,5 @@ Layout
 __version__ = "0.1.0"
 
 from quisk_tpu.modes import Mode  # noqa: F401
+from quisk_tpu.rx import RxChain, RxChainConfig  # noqa: F401
+from quisk_tpu.tx import TxChain, TxChainConfig  # noqa: F401

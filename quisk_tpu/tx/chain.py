@@ -24,7 +24,7 @@ from flax import struct
 from quisk_tpu.modes import Mode
 from quisk_tpu.ops import design
 from quisk_tpu.ops.agc import AGC
-from quisk_tpu.ops.compress import SoftCompressor
+from quisk_tpu.ops.compress import OvershootControl, SoftCompressor
 from quisk_tpu.ops.fir import OverlapSaveFIR
 from quisk_tpu.ops.iir import Preemphasis
 from quisk_tpu.ops.resample import Interpolator
@@ -46,6 +46,8 @@ class TxChainConfig:
     fm_deviation_hz: float = 2500.0
     ctcss_hz: float = 0.0
     am_carrier: float = 0.5             # carrier fraction (ref: (x+CLIP16)/2)
+    cessb: bool = False                 # CESSB overshoot control (osctrl.c)
+    predistort: bool = False            # PureSignal correction slot (iqc.c)
 
 
 @struct.dataclass
@@ -54,6 +56,8 @@ class TxChain:
     preemph: Preemphasis | None
     comp: SoftCompressor | None
     alc: AGC | None
+    cessb: OvershootControl | None
+    predist: "object"                   # Predistorter | None
     interp: Interpolator | None
     mode: jnp.ndarray                   # [C] int32
     fm_word: jnp.ndarray                # rad/sample per unit audio
@@ -87,11 +91,18 @@ class TxChain:
             raise ValueError("tx_rate must be an integer multiple of audio_rate")
         interp = (Interpolator.create(L, B, fs_out=config.tx_rate)
                   if L > 1 else None)
+        cessb = (OvershootControl.create(B, config.audio_rate,
+                                         band=config.mic_band)
+                 if config.cessb else None)
+        predist = None
+        if config.predistort:
+            from quisk_tpu.tx.puresignal import Predistorter
+            predist = Predistorter.identity()
         m = jnp.broadcast_to(jnp.asarray(mode, jnp.int32), (C,))
         fm_w = TWO_PI * config.fm_deviation_hz / config.audio_rate
         ct_w = TWO_PI * config.ctcss_hz / config.audio_rate
         return cls(analytic=analytic, preemph=pre, comp=comp, alc=alc,
-                   interp=interp, mode=m,
+                   cessb=cessb, predist=predist, interp=interp, mode=m,
                    fm_word=jnp.float32(fm_w), ctcss_word=jnp.float32(ct_w),
                    am_carrier=jnp.float32(config.am_carrier),
                    channels=C, block=B, block_tx=B * L)
@@ -105,6 +116,7 @@ class TxChain:
             "fm_phase": jnp.zeros((C,), jnp.float32),
             "ctcss_phase": jnp.zeros((C,), jnp.float32),
             "interp": self.interp.init_state(C) if self.interp else (),
+            "cessb": self.cessb.init_state(C) if self.cessb else (),
         }
 
     def step(self, state, audio: jnp.ndarray):
@@ -143,6 +155,13 @@ class TxChain:
         is_am = m == int(Mode.AM)
         is_fm = m == int(Mode.FM)
         iq = jnp.where(is_am, iq_am, jnp.where(is_fm, iq_fm, iq_ssb))
+
+        if self.cessb is not None:
+            # overshoot control applies to the SSB envelope path only
+            st["cessb"], iq_c = self.cessb(st["cessb"], iq)
+            iq = jnp.where(is_am | is_fm, iq, iq_c)
+        if self.predist is not None:
+            _, iq = self.predist((), iq)
 
         if self.interp is not None:
             st["interp"], iq = self.interp(st["interp"], iq)
