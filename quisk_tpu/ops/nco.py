@@ -51,34 +51,20 @@ class NCO:
     def phasor(self, phase: jnp.ndarray):
         """(next_phase [C], e^{j theta} [C, block] complex64).
 
-        Angle-addition factorization: n = a*Q + b splits the phase word
-        exactly (uint32 modular arithmetic), so the phasor is the outer
-        product of two short phasor tables, e^{j th(aQ)} * e^{j th(b)} —
-        ~Q-fold fewer sin/cos evaluations (the VPU-transcendental cost
-        dominated the mixer), one extra complex multiply of rounding.
+        Direct per-sample sin/cos: measured fastest on TPU — XLA's
+        transcendentals are cheap enough that an angle-addition
+        outer-product factorization (fewer sin/cos, one extra complex
+        multiply) loses to the materialization it forces (measured 5.0 ms
+        vs 3.2 ms at [1024, 40960], and 9.8 ms for a reshaped-3D variant).
         """
         import jax
 
-        B = self.block
-        Q = 256
-        if B % Q:
-            Q = 1 << (max(B, 2) - 1).bit_length() // 2   # fallback split
-            while B % Q:
-                Q //= 2
-        A = B // Q
-
-        def cis(ph_u32):
-            ang = ph_u32.astype(jnp.float32) * _TWO_PI_OVER_2_32
-            # lax.complex, not cos + 1j*sin: complex literals in HLO are
-            # not supported by every TPU runtime (axon)
-            return jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
-
-        a = jnp.arange(A, dtype=jnp.uint32) * jnp.uint32(Q)
-        b = jnp.arange(Q, dtype=jnp.uint32)
-        # coarse table carries the running phase offset; fine table is pure
-        zc = cis(phase[:, None] + self.word[:, None] * a[None, :])  # [C, A]
-        zf = cis(self.word[:, None] * b[None, :])                    # [C, Q]
-        z = (zc[:, :, None] * zf[:, None, :]).reshape(phase.shape[0], B)
+        n = jnp.arange(self.block, dtype=jnp.uint32)
+        ph = phase[:, None] + self.word[:, None] * n[None, :]   # uint32 wraps
+        ang = ph.astype(jnp.float32) * _TWO_PI_OVER_2_32
+        # lax.complex, not cos + 1j*sin: complex literals in HLO are not
+        # supported by every TPU runtime (axon), and this avoids them
+        z = jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
         next_phase = phase + self.word * jnp.uint32(self.block)
         return next_phase, z
 
