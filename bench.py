@@ -33,7 +33,8 @@ def main():
 
     C = 1024
     FS = 960000.0
-    cfg = RxChainConfig(sample_rate=FS, channels=C, audio_block=2048, agc=True)
+    cfg = RxChainConfig(sample_rate=FS, channels=C, audio_block=2048,
+                        agc=True, fused_frontend=True)
     modes = [int(Mode.USB), int(Mode.LSB), int(Mode.AM), int(Mode.FM)]
     chain = RxChain.create(
         cfg,

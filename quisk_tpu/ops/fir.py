@@ -236,18 +236,23 @@ class MatmulFIR:
         nblk = (self.block // self.decim) // R
         idx = (jnp.arange(nblk) * (R * self.decim))[:, None] \
             + jnp.arange(K)[None, :]
+        # Precision.HIGHEST: the TPU MXU truncates f32 operands to bf16 by
+        # default (~55 dB — far below the filters' stopband floors);
+        # highest selects the multi-pass f32 emulation
         if jnp.iscomplexobj(xe):
             lhs = jnp.concatenate(
                 [jnp.real(xe), jnp.imag(xe)], axis=0).astype(jnp.float32)
             patches = lhs[:, idx]                        # [2C, nblk, K]
             y = jax.lax.dot_general(
                 patches, self.M, (((2,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)      # [2C, nblk, R]
             y = y.reshape(2 * C, -1)
             return new_hist, jax.lax.complex(y[:C], y[C:])
         patches = xe.astype(jnp.float32)[:, idx]
         y = jax.lax.dot_general(
             patches, self.M, (((2,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32).reshape(C, -1)
         return new_hist, y
 

@@ -76,6 +76,9 @@ class RxChainConfig:
     squelch: bool = False
     squelch_threshold: float = 1.2
     ext_demod: str | None = None         # registered custom demod for EXT
+    # fuse NCO mix + first decimation stage into one Pallas kernel
+    # (needs channels % 128 == 0 and a real-tap decim-2+ first stage)
+    fused_frontend: bool = False
 
 
 @struct.dataclass
@@ -83,6 +86,7 @@ class RxChain:
     """The jit-able chain. Build with :meth:`create`; tunables are data."""
 
     nco: NCO
+    front: "object"                       # FusedTuneDecimate | None
     stages: tuple                         # ConvFIR decimator stages
     bp: OverlapSaveFIR                    # per-channel analytic bandpass
     frac: FracDecim | None
@@ -113,15 +117,23 @@ class RxChain:
         nco = NCO.create(tune_hz, config.sample_rate, B_in, C)
 
         stages = []
+        front = None
         b = B_in
-        for d, fs_stage in zip(plan.stages, plan.stage_rates()):
+        for i, (d, fs_stage) in enumerate(zip(plan.stages,
+                                              plan.stage_rates())):
             if d == 2:
                 taps = design.halfband(45)
             else:
                 taps = design.decimator(d, fs_stage,
                                         atten_db=config.decim_atten_db)
-            # real-tap decimators run as MXU matmuls (MatmulFIR)
-            stages.append(make_fir(taps, b, decim=d))
+            if (i == 0 and config.fused_frontend and C % 128 == 0
+                    and (b // d) % 128 == 0):
+                from quisk_tpu.ops.pallas_kernels import FusedTuneDecimate
+                front = FusedTuneDecimate.create(
+                    taps, tune_hz, config.sample_rate, b, d, C)
+            else:
+                # real-tap decimators run as MXU matmuls (MatmulFIR)
+                stages.append(make_fir(taps, b, decim=d))
             b //= d
         assert b == B_mid
 
@@ -163,10 +175,10 @@ class RxChain:
         squelch = (SSBSquelch.create(plan.fs_out, B_audio,
                                      config.squelch_threshold)
                    if config.squelch else None)
-        return cls(nco=nco, stages=tuple(stages), bp=bp, frac=frac,
-                   demod=demod, agc=agc, nb=nb, notch=notch, nr=nr, anf=anf,
-                   squelch=squelch, channels=C, block_in=B_in,
-                   block_audio=B_audio, fs_audio=plan.fs_out)
+        return cls(nco=nco, front=front, stages=tuple(stages), bp=bp,
+                   frac=frac, demod=demod, agc=agc, nb=nb, notch=notch,
+                   nr=nr, anf=anf, squelch=squelch, channels=C,
+                   block_in=B_in, block_audio=B_audio, fs_audio=plan.fs_out)
 
     # ---------------------------------------------------------------- state
     def init_state(self):
@@ -176,7 +188,8 @@ class RxChain:
             return op.init_state(C) if op is not None else ()
 
         return {
-            "nco": self.nco.init_state(C),
+            "nco": self.nco.init_state(C) if self.front is None else (),
+            "front": st(self.front),
             "stages": tuple(s.init_state(C) for s in self.stages),
             "bp": self.bp.init_state(C),
             "frac": self.frac.init_state(C) if self.frac else (),
@@ -200,7 +213,10 @@ class RxChain:
         st = dict(state)
         if self.nb is not None:
             st["nb"], x = self.nb(st["nb"], x)
-        st["nco"], y = self.nco(st["nco"], x)
+        if self.front is not None:
+            st["front"], y = self.front(st["front"], x)
+        else:
+            st["nco"], y = self.nco(st["nco"], x)
         new_stage_states = []
         for op, s in zip(self.stages, st["stages"]):
             s, y = op(s, y)

@@ -1,0 +1,64 @@
+"""Fused Pallas tune+decimate kernel vs the unfused chain (interpret mode
+on CPU; the same code runs compiled on TPU — bench.py exercises it)."""
+
+import numpy as np
+import pytest
+
+from quisk_tpu.modes import Mode
+from quisk_tpu.ops import design
+from quisk_tpu.ops.pallas_kernels import FusedTuneDecimate
+from quisk_tpu.rx import RxChain, RxChainConfig
+
+FS = 384000.0
+
+
+def test_fused_op_matches_reference():
+    C, B = 128, 2048
+    taps = design.halfband(45)
+    tune = [(-FS / 4 + (i + 0.5) * FS / (2 * C)) for i in range(C)]
+    op = FusedTuneDecimate.create(taps, tune, FS, B, 2, C, TN=2)
+    st = op.init_state(C)
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal((C, B))
+         + 1j * rng.standard_normal((C, B))).astype(np.complex64)
+    ref = op.reference(st, x)
+    st2, y = op(st, x)
+    y = np.asarray(y)
+    snr = 10 * np.log10(np.mean(np.abs(ref) ** 2)
+                        / np.mean(np.abs(y - ref) ** 2))
+    assert snr > 100.0, snr
+    # streaming continuity
+    x2 = (rng.standard_normal((C, B))
+          + 1j * rng.standard_normal((C, B))).astype(np.complex64)
+    ref2 = op.reference((np.asarray(st2[0]), np.asarray(st2[1])), x2)
+    _, y2 = op(st2, x2)
+    snr2 = 10 * np.log10(np.mean(np.abs(ref2) ** 2)
+                         / np.mean(np.abs(np.asarray(y2) - ref2) ** 2))
+    assert snr2 > 100.0, snr2
+
+
+def test_fused_chain_equals_unfused():
+    C = 128
+    cfg = dict(sample_rate=FS, channels=C, audio_block=512, agc=True)
+    tune = [(-FS / 4 + (i + 0.5) * FS / (2 * C)) for i in range(C)]
+    modes = [int(Mode.USB), int(Mode.AM)][0]
+    a = RxChain.create(RxChainConfig(**cfg), tune_hz=tune, mode=modes)
+    b = RxChain.create(RxChainConfig(**cfg, fused_frontend=True),
+                       tune_hz=tune, mode=modes)
+    assert b.front is not None
+    rng = np.random.default_rng(1)
+    nblk = 4
+    x = (rng.standard_normal((C, nblk * a.block_in))
+         + 1j * rng.standard_normal((C, nblk * a.block_in))
+         ).astype(np.complex64)
+    sa, sb = a.init_state(), b.init_state()
+    for i in range(nblk):
+        blk = x[:, i * a.block_in:(i + 1) * a.block_in]
+        sa, ya = a.step(sa, blk)
+        sb, yb = b.step(sb, blk)
+        ya, yb = np.asarray(ya), np.asarray(yb)
+        if i < 2:
+            continue          # AGC lookahead: first blocks are silent
+        snr = 10 * np.log10(np.mean(ya ** 2)
+                            / (np.mean((ya - yb) ** 2) + 1e-30))
+        assert snr > 90.0, (i, snr)
