@@ -1,0 +1,98 @@
+"""Polyphase filterbank (PFB) channelizer: one wideband capture ->
+thousands of uniformly spaced channels in one shot.
+
+This is the efficient engine behind BASELINE config #5 ("4096-channel
+polyphase filterbank channelizer"): where the per-channel chain pays one
+NCO + decimation cascade per channel, the critically-sampled PFB pays one
+prototype-filter pass plus one FFT across branches for ALL K channels —
+O(P + log K) per output sample instead of O(K).
+
+Structure (standard critically-sampled DFT filterbank):
+  prototype lowpass h of length P*K (P taps per branch, cutoff fs/2K)
+  branch p gets taps h[p], h[p+K], ...  applied to input phase p
+  v[m, k] = sum_p h[pK + k] * x[(m - p)K + k']   (polyphase products)
+  y[m, :] = K-point IFFT of v[m, :] -> channel c centered at c*fs/K,
+  output rate fs/K per channel.
+
+On TPU: the branch filtering is one einsum over P (MXU), the cross-branch
+transform is a batched FFT — both the shapes XLA loves.  Batched over a
+leading [S, ...] axis of independent wideband streams.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+from scipy import signal as _sig
+
+
+def pfb_prototype(n_chan: int, taps_per_branch: int = 8,
+                  atten_db: float = 90.0) -> np.ndarray:
+    """Prototype lowpass for a critically-sampled PFB: length P*K, cutoff
+    at the channel half-width fs/(2K), unity DC gain."""
+    n = n_chan * taps_per_branch
+    beta = _sig.kaiser_beta(atten_db)
+    h = _sig.firwin(n, 1.0 / n_chan, window=("kaiser", beta))
+    return h / h.sum()
+
+
+@struct.dataclass
+class PFBChannelizer:
+    """x [S, B] complex (B % K == 0) -> y [S, K, B/K] complex.
+
+    Channel c is centered at frequency c * fs / K (c > K/2 aliases to
+    negative frequencies, matching FFT bin order); each channel stream is
+    at rate fs / K.  State: the last (P-1)*K input samples [S, (P-1)*K]
+    (host numpy complex — complex64 cannot cross the jit boundary).
+    """
+
+    h_poly: jnp.ndarray             # [P, K] branch taps
+    n_chan: int = struct.field(pytree_node=False)
+    P: int = struct.field(pytree_node=False)
+    block: int = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, n_chan: int, block: int, taps_per_branch: int = 8,
+               atten_db: float = 90.0):
+        if block % n_chan:
+            raise ValueError("block must be a multiple of n_chan")
+        h = pfb_prototype(n_chan, taps_per_branch, atten_db)
+        hp = h.reshape(taps_per_branch, n_chan)
+        return cls(h_poly=jnp.asarray(hp, jnp.float32), n_chan=n_chan,
+                   P=taps_per_branch, block=block)
+
+    def init_state(self, streams: int):
+        return np.zeros((streams, (self.P - 1) * self.n_chan), np.complex64)
+
+    def __call__(self, hist, x: jnp.ndarray):
+        S = x.shape[0]
+        K, P = self.n_chan, self.P
+        M = self.block // K                       # output samples / channel
+        ext = jnp.concatenate([hist, x], axis=-1)
+        # Derivation (true streaming conv, output stride K, T = P*K taps):
+        #   y_c[m] = sum_j h[j] x~_c[mK + PK-1 - j],  x~_c = x e^{-2pi i cn/K}
+        # splitting j = pK + q gives
+        #   v[m, q] = sum_p h[pK+q] * ext[(m + P-1-p)K + (K-1-q)]
+        #   y_c[m]  = e^{2pi i c/K} * K * IFFT_q(v[m, :])[c]
+        # — the commutator reverses the within-frame index between data and
+        # taps, and the leading per-channel phase is constant across blocks
+        # (block length is a multiple of K).
+        frames = ext.reshape(S, M + P - 1, K)
+        idx = jnp.arange(M)[:, None] + jnp.arange(P)[None, :]  # [M, P]
+        win = frames[:, idx, ::-1]                # [S, M, P, K] (q reversed)
+        hp = self.h_poly[::-1]                    # branch-time reversed
+        vr = jnp.einsum("smpk,pk->smk", jnp.real(win), hp)
+        vi = jnp.einsum("smpk,pk->smk", jnp.imag(win), hp)
+        v = jax.lax.complex(vr, vi)
+        y = jnp.fft.ifft(v, axis=-1) * K          # [S, M, K]
+        ang = (2.0 * np.pi / K) * jnp.arange(K, dtype=jnp.float32)
+        rot = jax.lax.complex(jnp.cos(ang), jnp.sin(ang)).astype(y.dtype)
+        y = y * rot[None, None, :]
+        new_hist = ext[:, ext.shape[-1] - (P - 1) * K:]
+        return new_hist, jnp.moveaxis(y, 1, 2)    # [S, K, M]
+
+    def channel_freqs(self, fs: float) -> np.ndarray:
+        """Center frequency of each output channel (FFT bin order)."""
+        return np.fft.fftfreq(self.n_chan, 1.0 / fs)

@@ -30,7 +30,7 @@ from quisk_tpu.ops.fir import ConvFIR, OverlapSaveFIR, make_fir
 from quisk_tpu.ops.nco import NCO
 from quisk_tpu.ops.noise import AutoNotch, NoiseBlanker
 from quisk_tpu.ops.resample import FracDecim
-from quisk_tpu.ops.squelch import SSBSquelch
+from quisk_tpu.ops.squelch import FMSquelch, SSBSquelch
 from quisk_tpu.rx.planner import DecimPlan, plan_block_sizes, plan_decimation
 
 
@@ -75,6 +75,8 @@ class RxChainConfig:
     anf: bool = False                    # LMS auto-notch
     squelch: bool = False
     squelch_threshold: float = 1.2
+    fm_squelch: bool = False             # RF-level squelch (quisk.c:2076)
+    fm_squelch_db: float = -60.0
     ext_demod: str | None = None         # registered custom demod for EXT
     # fuse NCO mix + first decimation stage into one Pallas kernel
     # (needs channels % 128 == 0 and a real-tap decim-2+ first stage)
@@ -97,6 +99,7 @@ class RxChain:
     nr: "object"                          # SpectralNR | None, on audio
     anf: "object"                         # BlockLMS | None, on audio
     squelch: SSBSquelch | None            # last: mutes audio
+    fm_sq: FMSquelch | None               # RF-measured squelch
     # static metadata
     channels: int = struct.field(pytree_node=False)
     block_in: int = struct.field(pytree_node=False)
@@ -175,9 +178,12 @@ class RxChain:
         squelch = (SSBSquelch.create(plan.fs_out, B_audio,
                                      config.squelch_threshold)
                    if config.squelch else None)
+        fm_sq = (FMSquelch.create(plan.fs_out, B_audio,
+                                  config.fm_squelch_db)
+                 if config.fm_squelch else None)
         return cls(nco=nco, front=front, stages=tuple(stages), bp=bp,
                    frac=frac, demod=demod, agc=agc, nb=nb, notch=notch,
-                   nr=nr, anf=anf, squelch=squelch, channels=C,
+                   nr=nr, anf=anf, squelch=squelch, fm_sq=fm_sq, channels=C,
                    block_in=B_in, block_audio=B_audio, fs_audio=plan.fs_out)
 
     # ---------------------------------------------------------------- state
@@ -200,6 +206,7 @@ class RxChain:
             "nr": st(self.nr),
             "anf": st(self.anf),
             "squelch": st(self.squelch),
+            "fm_sq": st(self.fm_sq),
         }
 
     # ----------------------------------------------------------------- step
@@ -225,6 +232,8 @@ class RxChain:
         st["bp"], y = self.bp(st["bp"], y)
         if self.frac is not None:
             st["frac"], y = self.frac(st["frac"], y)
+        if self.fm_sq is not None:
+            rf_db = self.fm_sq.measure(y)      # pre-demod carrier power
         st["demod"], audio = self.demod(st["demod"], y)
         if self.notch is not None:
             st["notch"], audio = self.notch(st["notch"], audio)
@@ -236,6 +245,8 @@ class RxChain:
             st["agc"], audio = self.agc(st["agc"], audio)
         if self.squelch is not None:
             st["squelch"], audio = self.squelch(st["squelch"], audio)
+        if self.fm_sq is not None:
+            st["fm_sq"], audio = self.fm_sq(st["fm_sq"], audio, rf_db)
         return st, audio
 
     def process(self, state, iq: jnp.ndarray):

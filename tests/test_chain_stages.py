@@ -72,3 +72,29 @@ def test_squelch_stage_mutes_noise_only_channel():
     tail = audio[-4 * chain.block_audio:]
     # noise-only input: squelch closes, audio muted
     assert np.sqrt(np.mean(tail ** 2)) < 1e-3
+
+
+def test_nfm_chain_with_fm_squelch():
+    """BASELINE config #3: 192k NFM -> decimate -> discriminator ->
+    de-emphasis -> RF squelch -> audio."""
+    from quisk_tpu.io import sources
+    FS2 = 192000.0
+    cfg = RxChainConfig(sample_rate=FS2, channels=1, audio_block=2048,
+                        agc=False, fm_squelch=True, fm_squelch_db=-40.0)
+    chain = RxChain.create(cfg, tune_hz=0.0, mode=int(Mode.FM))
+    n_in = 24 * chain.block_in
+    t48 = np.arange(n_in // 4) / 48000.0
+    audio_t = 0.8 * np.sin(2 * np.pi * 1000.0 * t48)
+    iq48 = sources.fm_signal(audio_t, deviation_hz=5000.0, fs=48000.0)
+    iq = np.repeat(iq48, 4)[:n_in]          # crude 4x upsample: NFM is narrow
+    # first half: carrier present; second half: noise only — the squelch
+    # closes after its 0.2 s hold (5 audio blocks)
+    rng = np.random.default_rng(3)
+    noise = 1e-4 * (rng.standard_normal(n_in) + 1j * rng.standard_normal(n_in))
+    x = np.where(np.arange(n_in) < n_in // 2, iq, 0.0) + noise
+    audio = _run(chain, x[None].astype(np.complex64), 24)[0]
+    Ba = chain.block_audio
+    carrier_seg = audio[4 * Ba:7 * Ba]
+    quiet_seg = audio[-3 * Ba:]
+    assert np.sqrt(np.mean(carrier_seg ** 2)) > 0.05   # audio comes through
+    assert np.sqrt(np.mean(quiet_seg ** 2)) < 1e-3     # squelch closed
