@@ -42,7 +42,11 @@ def main():
         mode=[modes[i % 4] for i in range(C)],
     )
 
-    NSCAN = 8                # blocks per dispatch (lax.scan) — streaming
+    # Single-step dispatch: wrapping the Pallas fused front-end in
+    # lax.scan hangs Mosaic compilation on this toolchain, and measured
+    # per-block time is dispatch-overhead-insensitive anyway (compute
+    # bound at ~10.6 ms/block).
+    NSCAN = 1
     rng = np.random.default_rng(0)
     x = (rng.standard_normal((C, chain.block_in * NSCAN))
          + 1j * rng.standard_normal((C, chain.block_in * NSCAN))
@@ -53,7 +57,7 @@ def main():
     # rebuilt with lax.complex inside jit (quisk_tpu.utils.boundary).
     from quisk_tpu.utils.boundary import make_boundary_step, pack_tree
 
-    step = make_boundary_step(lambda ch, st, xx: ch.process(st, xx))
+    step = make_boundary_step(lambda ch, st, xx: ch.step(st, xx))
     pchain = pack_tree(chain)
     pstate = pack_tree(chain.init_state())
     px = pack_tree(x)
@@ -73,8 +77,8 @@ def main():
         float(jnp.sum(audio))            # true pipeline sync (tiny fetch)
         return time.perf_counter() - t0
 
-    timed(2)                             # settle queues/caches
-    iters = 10
+    timed(5)                             # settle queues/caches
+    iters = 50
     dt = timed(iters)
 
     samples = C * chain.block_in * NSCAN * iters
