@@ -1,0 +1,152 @@
+"""The five BASELINE.json benchmark configurations, end-to-end.
+
+Each test is the named config run at test scale on the CPU backend (the
+real-rate numbers come from bench.py on the TPU):
+
+1. 48 kHz single-channel SSB receive
+2. 960 kHz -> 48 kHz decimate-by-20 + SSB (overlap-save channel filter)
+3. 192 kHz NFM chain (discriminator + de-emphasis + squelch) —
+   tests/test_chain_stages.py::test_nfm_chain_with_fm_squelch
+4. 256-channel mixed AM/FM/SSB batch + AGC, sharded over devices
+5. polyphase filterbank channelizer + per-channel demod + spectrum,
+   sharded ingest over the virtual multi-device mesh
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from quisk_tpu.io import sources
+from quisk_tpu.modes import Mode
+from quisk_tpu.ops.channelizer import PFBChannelizer
+from quisk_tpu.ops.spectrum import SpectrumAnalyzer
+from quisk_tpu.oracle import dsp
+from quisk_tpu.parallel import make_mesh, shard_over_channels
+from quisk_tpu.parallel.multihost import ShardedFileIngest, make_global_iq
+from quisk_tpu.rx import RxChain, RxChainConfig
+
+
+def _run(chain, iq, nblk):
+    st = chain.init_state()
+    outs = []
+    B = chain.block_in
+    for i in range(nblk):
+        st, a = chain.step(st, jnp.asarray(iq[:, i * B:(i + 1) * B]))
+        outs.append(np.asarray(a))
+    return np.concatenate(outs, axis=-1)
+
+
+def test_config1_48k_ssb_single_channel():
+    FS = 48000.0
+    voice = sources.voice_like(FS, 8 * 2048, band=(300.0, 2700.0))
+    iq = sources.ssb_signal(voice, FS)
+    chain = RxChain.create(
+        RxChainConfig(sample_rate=FS, channels=1, audio_block=2048,
+                      agc=False),
+        tune_hz=0.0, mode=int(Mode.USB))
+    audio = _run(chain, iq[None].astype(np.complex64), 8)[0]
+    seg = slice(4 * 2048, 8 * 2048)
+    # compare inside the channel filter's core passband (the source has
+    # skirts outside 300-2700 that the filter removes by design)
+    from scipy import signal as sig
+    core = sig.firwin(257, [600.0, 2400.0], fs=FS, pass_zero=False)
+    v = np.convolve(voice[seg], core, "same")
+    a = np.convolve(audio[seg] / 2.0, core, "same")
+    snr = dsp.frac_align_snr(v[300:-300], a[300:-300], max_lag=1200)
+    assert snr > 40.0, snr
+
+
+def test_config2_960k_decimate_ssb():
+    FS = 960000.0
+    chain = RxChain.create(
+        RxChainConfig(sample_rate=FS, channels=1, audio_block=2048,
+                      agc=False),
+        tune_hz=123456.0, mode=int(Mode.USB))
+    n48 = 4 * chain.block_audio
+    voice = sources.voice_like(48000.0, n48)
+    iq48 = sources.ssb_signal(voice, 48000.0)
+    # upsample x20 by zero-stuff + the chain's own anti-alias context:
+    # instead synthesize at 960k directly via repeat (narrowband signal)
+    iq = np.repeat(iq48, 20)[: 4 * chain.block_in]
+    t = np.arange(len(iq)) / FS
+    iq = iq * np.exp(2j * np.pi * 123456.0 * t)
+    audio = _run(chain, iq[None].astype(np.complex64), 4)[0]
+    # voice band present, audio finite and sane
+    assert np.all(np.isfinite(audio))
+    seg = audio[2 * chain.block_audio:]
+    f = np.fft.rfftfreq(len(seg), 1 / 48000.0)
+    Pw = np.abs(np.fft.rfft(seg)) ** 2
+    inband = Pw[(f > 300) & (f < 2700)].sum()
+    outband = Pw[f > 8000].sum() + 1e-12
+    assert 10 * np.log10(inband / outband) > 30.0
+
+
+def test_config4_256ch_mixed_modes_sharded():
+    FS = 192000.0
+    C = 256
+    mesh = make_mesh()             # 8 virtual CPU devices (conftest)
+    modes = [int(Mode.USB), int(Mode.AM), int(Mode.FM), int(Mode.LSB)]
+    chain = RxChain.create(
+        RxChainConfig(sample_rate=FS, channels=C, audio_block=512, agc=True),
+        tune_hz=[(-FS / 4 + (i + 0.5) * FS / (2 * C)) for i in range(C)],
+        mode=[modes[i % 4] for i in range(C)])
+    state = chain.init_state()
+    chain_s = shard_over_channels(chain, mesh, C)
+    state_s = shard_over_channels(state, mesh, C)
+    rng = np.random.default_rng(0)
+    x = make_global_iq(
+        (rng.standard_normal((C, chain.block_in))
+         + 1j * rng.standard_normal((C, chain.block_in))
+         ).astype(np.complex64), mesh)
+
+    @jax.jit
+    def step(ch, st, xx):
+        return ch.step(st, xx)
+
+    st, audio = step(chain_s, state_s, x)
+    st, audio = step(chain_s, st, x)
+    assert audio.shape == (C, chain.block_audio)
+    assert bool(jnp.all(jnp.isfinite(audio)))
+    assert audio.sharding.spec[0] == "chan"
+
+
+def test_config5_channelizer_demod_spectrum_sharded_ingest():
+    FS = 1024000.0
+    K = 64
+    B = 8192
+    mesh = make_mesh()
+    # wideband capture: SSB voice in channel 9 + tone in channel 30
+    n = 4 * B
+    t = np.arange(n) / FS
+    voice = sources.voice_like(FS / K, n // K)
+    ssb = np.repeat(sources.ssb_signal(voice, FS / K), K)[:n]
+    x = (ssb * np.exp(2j * np.pi * (9 / K) * np.arange(n))
+         + 0.3 * np.exp(2j * np.pi * (30.25 / K) * np.arange(n)))
+    x = x[None].astype(np.complex64)
+
+    ingest = ShardedFileIngest(np.tile(x, (8, 1)), mesh, block=B)
+    pfb = PFBChannelizer.create(K, B)
+    sa = SpectrumAnalyzer.create(1024, B)
+    st = pfb.init_state(8)
+    sa_st = sa.init_state(8)
+    chans = []
+    while True:
+        blk = ingest.next_block()
+        if blk is None:
+            break
+        st, y = pfb(st, blk)
+        sa_st, _ = sa.accumulate(sa_st, blk)
+        chans.append(np.asarray(y))
+    y = np.concatenate(chans, axis=-1)     # [8, K, n/K]
+    pw = np.mean(np.abs(y[0, :, 64:]) ** 2, axis=-1)
+    top2 = set(np.argsort(pw)[-2:])
+    assert top2 == {9, 30}, top2
+    # spectrum service sees both signals in the wideband view
+    db = np.asarray(sa.graph_db(sa_st))[0]
+    f = sa.freqs(FS)
+    k9 = np.argmin(np.abs(f - 9 / K * FS))
+    k30 = np.argmin(np.abs(f - 30.25 / K * FS))
+    floor = np.median(db)
+    assert db[k9 - 2:k9 + 3].max() > floor + 20
+    assert db[k30 - 2:k30 + 3].max() > floor + 20
