@@ -80,6 +80,25 @@ class OverlapSaveFIR:
             mask = mask[0]
         return self.replace(mask=mask)
 
+    def retune_crossfade(self, taps, nblocks: int = 4):
+        """Click-free retune: a list of ``nblocks`` ops whose masks blend
+        linearly from the current response to the new one.
+
+        The overlap-save output is linear in the mask, so feeding blended
+        masks for a few blocks crossfades the *audio* between the two
+        filters — the same property the reference gets from double-
+        buffered FIRCORE masks swapped under lock (wdsp/firmin.c:322-346).
+        Masks are data: swapping them never recompiles.
+        """
+        new = self.retuned(taps)
+        old_m, new_m = np.asarray(self.mask), np.asarray(new.mask)
+        out = []
+        for k in range(1, nblocks + 1):
+            a = k / nblocks
+            out.append(self.replace(
+                mask=((1.0 - a) * old_m + a * new_m).astype(np.complex64)))
+        return out
+
     def init_state(self, channels: int):
         return np.zeros((channels, self.ntaps - 1), dtype=np.complex64)
 

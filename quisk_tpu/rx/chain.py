@@ -186,6 +186,52 @@ class RxChain:
                    nr=nr, anf=anf, squelch=squelch, fm_sq=fm_sq, channels=C,
                    block_in=B_in, block_audio=B_audio, fs_audio=plan.fs_out)
 
+    # --------------------------------------------------------------- retune
+    def retune(self, config: RxChainConfig,
+               tune_hz: Sequence[float] | float | None = None,
+               mode: Sequence[int] | int | None = None,
+               bandwidth_hz: Sequence[float] | None = None) -> "RxChain":
+        """New chain with updated tunables (NCO words, filter masks, mode
+        vector) — every changed quantity is data with unchanged shapes, so
+        stepping the new chain reuses the compiled program and the carried
+        state (the reference's click-free retune property, firmin.c
+        double-buffered masks; use ``bp.retune_crossfade`` for an audible
+        crossfade over a few blocks)."""
+        C = self.channels
+        new = self
+        if tune_hz is not None:
+            if new.front is not None:
+                from quisk_tpu.ops.nco import freq_word
+                w = freq_word(np.broadcast_to(np.atleast_1d(tune_hz), (C,)),
+                              config.sample_rate)
+                new = new.replace(front=new.front.replace(word=w))
+            else:
+                new = new.replace(nco=NCO.create(
+                    tune_hz, config.sample_rate, self.block_in, C))
+        if mode is not None or bandwidth_hz is not None:
+            modes = np.broadcast_to(
+                np.asarray(mode if mode is not None
+                           else np.asarray(self.demod.mode), np.int32), (C,))
+            if bandwidth_hz is None:
+                bands = [mode_band(Mode(int(m)), None, config.cw_pitch)
+                         for m in modes]
+            else:
+                bws = np.broadcast_to(np.asarray(bandwidth_hz, np.float64),
+                                      (C,))
+                bands = [mode_band(Mode(int(m)), bw, config.cw_pitch)
+                         for m, bw in zip(modes, bws)]
+            plan = plan_decimation(config.sample_rate, config.audio_rate)
+            cache: dict[tuple, np.ndarray] = {}
+            for lo, hi in set(bands):
+                cache[(lo, hi)] = design.bandpass_analytic(
+                    config.filter_taps, lo, hi, plan.fs_mid)
+            taps = np.stack([cache[b] for b in bands])
+            new = new.replace(bp=new.bp.retuned(taps))
+            if mode is not None:
+                new = new.replace(demod=new.demod.replace(
+                    mode=jnp.asarray(modes)))
+        return new
+
     # ---------------------------------------------------------------- state
     def init_state(self):
         C = self.channels
