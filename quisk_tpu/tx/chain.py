@@ -110,6 +110,7 @@ class TxChain:
     def init_state(self):
         C = self.channels
         return {
+            "imd_phase": jnp.zeros((C, 2), jnp.float32),
             "analytic": self.analytic.init_state(C),
             "preemph": self.preemph.init_state(C) if self.preemph else (),
             "alc": self.alc.init_state(C) if self.alc else (),
@@ -123,6 +124,20 @@ class TxChain:
         """audio [C, block] float -> (state, iq [C, block_tx] complex64)."""
         st = dict(state)
         a = audio
+        # IMD mode: replace the mic with the standard two-tone test signal
+        # (700 + 1900 Hz, parity microphone.c:140-159, 1070-1091)
+        m0 = self.mode[:, None]
+        is_imd = m0 == int(Mode.IMD)
+        n = jnp.arange(self.block, dtype=jnp.float32)[None, :] + 1.0
+        w1 = TWO_PI * 700.0 / 48000.0
+        w2 = TWO_PI * 1900.0 / 48000.0
+        ph1 = st["imd_phase"][:, 0:1] + w1 * n
+        ph2 = st["imd_phase"][:, 1:2] + w2 * n
+        two_tone = 0.5 * (jnp.sin(ph1) + jnp.sin(ph2))
+        st["imd_phase"] = jnp.stack(
+            [jnp.mod(ph1[:, -1], TWO_PI), jnp.mod(ph2[:, -1], TWO_PI)],
+            axis=-1)
+        a = jnp.where(is_imd, two_tone, a)
         if self.preemph is not None:
             st["preemph"], a = self.preemph(st["preemph"], a)
         if self.comp is not None:

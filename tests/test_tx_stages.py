@@ -40,3 +40,55 @@ def test_tx_chain_predistort_slot_identity():
         st0, b = tx0.step(st0, blk)
     # identity predistorter changes nothing
     assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_ptt_vox_and_timeout():
+    from quisk_tpu.tx.ptt import PttController, VoxControl
+    FS_, B_ = 48000.0, 2048
+    vox = VoxControl(FS_, B_, threshold=0.05, hold_secs=0.2)
+    loud = 0.3 * np.ones(B_)
+    quiet = 0.001 * np.ones(B_)
+    assert vox.process(loud) is True
+    hold = 0
+    while vox.process(quiet):
+        hold += 1
+    assert 3 <= hold <= 6                    # ~0.2 s at 2048/48k blocks
+
+    ptt = PttController(FS_, B_, max_tx_secs=0.2, repeater_hold_secs=0.1)
+    # timeout forces TX off after ~5 blocks, latched until release
+    on = [ptt.process(ptt=True) for _ in range(10)]
+    assert on[0] and not on[-1]
+    assert ptt.process(ptt=True) is False    # still latched
+    ptt.process(ptt=False)                   # release clears the latch
+    assert ptt.process(ptt=True) is True
+    # tx_inhibit vetoes everything
+    ptt2 = PttController(FS_, B_)
+    ptt2.tx_inhibit = True
+    assert ptt2.process(ptt=True, cw_key=True, vox=True) is False
+    # repeater hold keeps TX up after key release
+    ptt3 = PttController(FS_, B_, repeater_hold_secs=0.1)
+    ptt3.process(ptt=True)
+    tail = 0
+    while ptt3.process(ptt=False):
+        tail += 1
+    assert 1 <= tail <= 4
+
+
+def test_imd_mode_generates_two_tone():
+    from quisk_tpu.tx.puresignal import two_tone_imd_db
+    tx = TxChain.create(TxChainConfig(channels=1, alc=False),
+                        mode=int(Mode.IMD))
+    st = tx.init_state()
+    outs = []
+    silent = np.zeros((1, tx.block), np.float32)
+    for _ in range(8):
+        st, iq = tx.step(st, silent)         # mic ignored in IMD mode
+        outs.append(np.asarray(iq))
+    iq = np.concatenate(outs, axis=-1)[0][2 * tx.block:]
+    S = np.abs(np.fft.fft(iq * np.hanning(len(iq))))
+    f = np.fft.fftfreq(len(iq), 1 / 48000.0)
+    k1 = np.argmin(np.abs(f - 700.0))
+    k2 = np.argmin(np.abs(f - 1900.0))
+    floor = np.median(S)
+    assert S[k1 - 2:k1 + 3].max() > 100 * floor
+    assert S[k2 - 2:k2 + 3].max() > 100 * floor
