@@ -181,6 +181,47 @@ class BandscopeService:
         return np.linspace(0.0, self.clock / 2.0, self.pixels)
 
 
+class ScanController:
+    """Drives scan mode: steps the hardware VFO across a wide span, feeds
+    each dwell's spectrum into a :class:`ScanStitcher` (parity quisk.c
+    ``change_scan``/scan state 139-143: the reference's GUI steps the VFO
+    and stitches blocks the same way)."""
+
+    def __init__(self, hardware, stitcher: ScanStitcher,
+                 start_hz: float, stop_hz: float, sample_rate: float,
+                 valid_fraction: float = 0.84):
+        self.hw = hardware
+        self.st = stitcher
+        self.fs = sample_rate
+        step = sample_rate * valid_fraction
+        self.centers = [start_hz + step * (k + 0.5)
+                        for k in range(stitcher.n_blocks)]
+        if self.centers[-1] - step / 2 > stop_hz:
+            raise ValueError("stitcher block count exceeds the span")
+        self.index = 0
+        self._retune()
+
+    def _retune(self):
+        c = self.centers[self.index]
+        self.hw.ChangeFrequency(int(c), int(c), source="scan")
+
+    def feed(self, db_pixels: np.ndarray) -> np.ndarray | None:
+        """Feed the current dwell's spectrum; steps the VFO; returns the
+        stitched wide trace when a full sweep completes."""
+        self.st.add_block(self.index, db_pixels)
+        self.index = (self.index + 1) % self.st.n_blocks
+        self._retune()
+        if self.index == 0 and self.st.complete():
+            return self.st.spectrum()
+        return None
+
+    def freqs(self) -> np.ndarray:
+        span = self.fs * 0.84 * self.st.n_blocks
+        f0 = self.centers[0] - self.fs * 0.84 / 2
+        return f0 + np.arange(self.st.n_blocks * self.st.ppb) \
+            * span / (self.st.n_blocks * self.st.ppb)
+
+
 def measure_audio_rms(audio: np.ndarray) -> np.ndarray:
     """RMS audio level per channel (parity quisk.c:3193 measure_audio /
     2155-2158 audio power metering)."""

@@ -59,3 +59,24 @@ def test_measure_audio_rms():
     rms = measure_audio_rms(a)
     assert abs(rms[0] - 1 / np.sqrt(2)) < 1e-3
     assert abs(rms[1] - 0.5) < 1e-9
+
+
+def test_scan_controller_sweeps_and_stitches():
+    from quisk_tpu.app.graph import ScanController
+    from quisk_tpu.hw.base import FixedHardware
+
+    hw = FixedHardware()
+    st = ScanStitcher(n_blocks=4, pixels_per_block=64)
+    ctl = ScanController(hw, st, start_hz=7_000_000.0, stop_hz=7_700_000.0,
+                         sample_rate=192_000.0)
+    tunes = [hw.vfo_frequency]
+    out = None
+    for sweep in range(4):
+        out = ctl.feed(np.full(128, float(sweep)))
+        tunes.append(hw.vfo_frequency)
+    assert out is not None and out.shape == (256,)
+    # VFO stepped monotonically across the span, then wrapped
+    assert tunes[1] > tunes[0] or len(set(tunes)) > 1
+    assert len(set(tunes[:4])) == 4
+    f = ctl.freqs()
+    assert f[0] >= 6_900_000 and f[-1] <= 7_700_000 and np.all(np.diff(f) > 0)
