@@ -1,0 +1,137 @@
+"""The radio application object: everything wired together, headless.
+
+Parity: quisk.py's ``App`` (3710) — the reference's GUI object owns the
+config, the hardware plugin, the sound loop, the spectrum display, CAT
+servers and state persistence.  Here the same orchestration without wx:
+
+  cfg = RadioConfig(sample_rate=..., mode="USB", ...)
+  radio = Radio(cfg, hardware="sim")
+  radio.open()
+  audio = radio.run(blocks=50)        # pull -> chain -> audio/spectrum
+  radio.set_frequency(7_055_000); radio.set_mode("LSB")   # data-only
+  radio.close()
+
+External control (rigctld server) attaches to the same state: frequency/
+mode/PTT changes from WSJT-X retune the running chain between blocks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from quisk_tpu.app.config import RadioConfig, Settings
+from quisk_tpu.app.graph import GraphService, WaterfallRenderer
+from quisk_tpu.app.status import StatusBoard
+from quisk_tpu.hw.base import get_hardware
+from quisk_tpu.modes import Mode
+from quisk_tpu.rx import RxChain
+from quisk_tpu.utils.boundary import make_boundary_step, pack_tree
+
+
+class Radio:
+    """Headless radio session around one RX chain.
+
+    ``hardware`` is a registry key or a Hardware instance.  All tunables
+    route through :meth:`set_frequency`/:meth:`set_mode` which retune the
+    chain as data (no recompilation — RxChain.retune).
+    """
+
+    def __init__(self, cfg: RadioConfig, hardware="sim",
+                 settings: Settings | None = None, rigctl_port: int | None = None):
+        self.cfg = cfg
+        self.hw = (get_hardware(hardware)(cfg)
+                   if isinstance(hardware, str) else hardware)
+        self.settings = settings
+        self.status = StatusBoard()
+        self.rx_cfg = cfg.rx_chain_config()
+        self.chain = RxChain.create(self.rx_cfg, tune_hz=cfg.tune_hz,
+                                    mode=int(cfg.modes()))
+        self.graph = GraphService(fft_size=cfg.fft_size,
+                                  block=self.chain.block_in,
+                                  channels=1, sample_rate=cfg.sample_rate,
+                                  refresh_hz=cfg.graph_refresh_hz)
+        self.waterfall = WaterfallRenderer(pixels=1024)
+        self._step = make_boundary_step(lambda ch, s, xx: ch.step(s, xx))
+        self._pchain = pack_tree(self.chain)
+        self._pstate = pack_tree(self.chain.init_state())
+        self._dirty = False
+        self.rigctl = None
+        if rigctl_port is not None:
+            from quisk_tpu.app.rigctl import RadioState, RigctlServer
+            st = RadioState()
+            st.freq = int(cfg.tune_hz)
+            st.mode = cfg.mode
+            st.on_change = self._on_cat_change
+            self.rigctl = RigctlServer(st, port=rigctl_port)
+            self.rigctl.start()
+
+    # ---- lifecycle ------------------------------------------------------
+    def open(self) -> str:
+        status = self.hw.open()
+        self.hw.StartSamples()
+        return status
+
+    def close(self) -> None:
+        self.hw.StopSamples()
+        self.hw.close()
+        if self.rigctl is not None:
+            self.rigctl.stop()
+        if self.settings is not None:
+            self.settings.save()
+
+    # ---- control --------------------------------------------------------
+    def set_frequency(self, freq_hz: float) -> None:
+        self.cfg.tune_hz = float(freq_hz)
+        self.hw.ChangeFrequency(int(freq_hz), int(freq_hz))
+        self.chain = self.chain.retune(self.rx_cfg, tune_hz=freq_hz)
+        self._dirty = True
+
+    def set_mode(self, mode: str) -> None:
+        self.cfg.mode = mode
+        self.hw.ChangeMode(mode)
+        self.chain = self.chain.retune(self.rx_cfg, mode=int(Mode[mode]))
+        self._dirty = True
+
+    def _on_cat_change(self, field, value) -> None:
+        if field == "freq":
+            self.set_frequency(value)
+        elif field == "mode":
+            self.set_mode(value)
+
+    # ---- the block loop (the reference's sound-thread iteration) ---------
+    def run_once(self) -> np.ndarray | None:
+        """Pull one block from hardware through the chain; feeds the
+        spectrum/waterfall; returns the audio block (or None if starved)."""
+        x = self.hw.read_samples(self.chain.block_in)
+        if x is None:
+            self.status.count("read_starved")
+            return None
+        if self._dirty:
+            self._pchain = pack_tree(self.chain)
+            self._dirty = False
+        self._pstate, audio = self._step(self._pchain, self._pstate,
+                                         pack_tree(x.astype(np.complex64)))
+        trace = self.graph.feed(x[:1])
+        if trace is not None:
+            self.waterfall.add_row(trace[0])
+        if self.settings is not None:
+            self.settings.update_state(tune_hz=self.cfg.tune_hz,
+                                       mode=self.cfg.mode)
+        return np.asarray(audio)
+
+    def run(self, blocks: int) -> np.ndarray:
+        """Run ``blocks`` iterations; returns concatenated audio [C, N]."""
+        outs = []
+        for _ in range(blocks):
+            a = self.run_once()
+            if a is not None:
+                outs.append(a)
+        if not outs:
+            return np.zeros((self.chain.channels, 0), np.float32)
+        return np.concatenate(outs, axis=-1)
+
+    # ---- displays -------------------------------------------------------
+    def smeter_db(self) -> float:
+        lo, hi = -3000.0, 3000.0
+        return float(self.graph.smeter_dbfs(self.cfg.tune_hz + lo,
+                                            self.cfg.tune_hz + hi)[0])
