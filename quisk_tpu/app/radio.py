@@ -130,6 +130,33 @@ class Radio:
             return np.zeros((self.chain.channels, 0), np.float32)
         return np.concatenate(outs, axis=-1)
 
+    # ---- transmit -------------------------------------------------------
+    def enable_tx(self, tx_rate: float | None = None, **tx_kwargs) -> None:
+        """Attach a transmit chain + PTT controller (mic audio in,
+        modulated IQ out via :meth:`transmit`)."""
+        from quisk_tpu.tx import TxChain, TxChainConfig
+        from quisk_tpu.tx.ptt import PttController, VoxControl
+        self.tx = TxChain.create(
+            TxChainConfig(channels=1, audio_rate=self.cfg.audio_rate,
+                          tx_rate=tx_rate or self.cfg.tx_rate, **tx_kwargs),
+            mode=int(self.cfg.modes()))
+        self._tx_state = self.tx.init_state()
+        self.ptt = PttController(self.cfg.audio_rate, self.tx.block,
+                                 max_tx_secs=600.0)
+        self.vox = VoxControl(self.cfg.audio_rate, self.tx.block)
+
+    def transmit(self, mic_block: np.ndarray, ptt: bool = False,
+                 cw_key: bool = False) -> np.ndarray | None:
+        """One TX block: mic [block] float -> IQ [block_tx] complex, or
+        None when not keyed (VOX/PTT/failsafes decide)."""
+        vox = self.vox.process(mic_block)
+        if not self.ptt.process(ptt=ptt, cw_key=cw_key, vox=vox):
+            return None
+        self.hw.OnButtonPTT(True)
+        self._tx_state, iq = self.tx.step(
+            self._tx_state, np.asarray(mic_block, np.float32)[None])
+        return np.asarray(iq)[0]
+
     # ---- displays -------------------------------------------------------
     def smeter_db(self) -> float:
         lo, hi = -3000.0, 3000.0
