@@ -96,3 +96,69 @@ class PFBChannelizer:
     def channel_freqs(self, fs: float) -> np.ndarray:
         """Center frequency of each output channel (FFT bin order)."""
         return np.fft.fftfreq(self.n_chan, 1.0 / fs)
+
+
+@struct.dataclass
+class OversampledPFB:
+    """2x-oversampled polyphase channelizer: x [S, B] -> y [S, K, 2B/K].
+
+    Same DFT filterbank as :class:`PFBChannelizer` but with hop K/2, so
+    each channel streams at 2*fs/K — the channel's full fs/K bandwidth is
+    alias-free (a critically-sampled channel folds at its edges, which
+    matters as soon as a signal straddles the channel center).  The only
+    structural additions: overlapping analysis windows (hop M = K/2) and
+    the per-output-sample rotation (-1)^(c*m) from the half-frame time
+    advance.
+    """
+
+    h_poly: jnp.ndarray             # [P, K]
+    n_chan: int = struct.field(pytree_node=False)
+    P: int = struct.field(pytree_node=False)
+    block: int = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, n_chan: int, block: int, taps_per_branch: int = 8,
+               atten_db: float = 90.0):
+        if n_chan % 2 or block % n_chan:
+            raise ValueError("need even n_chan and block % n_chan == 0")
+        h = pfb_prototype(n_chan, taps_per_branch, atten_db)
+        return cls(h_poly=jnp.asarray(h.reshape(taps_per_branch, n_chan),
+                                      jnp.float32),
+                   n_chan=n_chan, P=taps_per_branch, block=block)
+
+    def init_state(self, streams: int):
+        # history: P*K - hop samples so window m=0 of the next block
+        # overlaps correctly (hop = K/2)
+        K = self.n_chan
+        return np.zeros((streams, self.P * K - K // 2), np.complex64)
+
+    def __call__(self, hist, x: jnp.ndarray):
+        S = x.shape[0]
+        K, P = self.n_chan, self.P
+        M = K // 2                                 # hop
+        n_out = self.block // M
+        ext = jnp.concatenate([hist, x], axis=-1)
+        # Derivation (stride-M variant of PFBChannelizer.__call__):
+        #   v[m, q]  = sum_p h[pK+q] * ext[mM + (P-1-p)K + (K-1-q)]
+        #   y_c[m]   = e^{-2pi i c (M-1)/K} * (-1)^{cm} * K * IFFT(v[m])[c]
+        # windows overlap (hop M = K/2); reversing BOTH axes of the
+        # reshaped window against the unreversed h_poly realises the
+        # (P-1-p, K-1-q) index flips in one einsum.
+        base = (jnp.arange(n_out) * M)[:, None]
+        win = ext[:, base + jnp.arange(P * K)[None, :]]   # [S, n_out, P*K]
+        win = win.reshape(S, n_out, P, K)[:, :, ::-1, ::-1]
+        vr = jnp.einsum("smpk,pk->smk", jnp.real(win), self.h_poly)
+        vi = jnp.einsum("smpk,pk->smk", jnp.imag(win), self.h_poly)
+        v = jax.lax.complex(vr, vi)
+        y = jnp.fft.ifft(v, axis=-1) * K           # [S, n_out, K]
+        # constant per-channel phase from the history alignment ...
+        c_idx = jnp.arange(K)
+        ang0 = (2.0 * np.pi / K) * c_idx.astype(jnp.float32) * (M - 1)
+        rot0 = jax.lax.complex(jnp.cos(ang0), -jnp.sin(ang0)).astype(y.dtype)
+        # ... and the exact (-1)^(c*m) half-frame hop term (integer parity,
+        # not cos(pi*c*m) — float cos of large multiples of pi drifts)
+        sign = (1 - 2 * ((jnp.arange(n_out)[:, None] * c_idx[None, :]) % 2)
+                ).astype(jnp.float32)
+        y = y * rot0[None, None, :] * sign[None, :, :].astype(y.dtype)
+        new_hist = ext[:, ext.shape[-1] - (P * K - M):]
+        return new_hist, jnp.moveaxis(y, 1, 2)     # [S, K, n_out]

@@ -75,3 +75,44 @@ def test_pfb_matches_tune_filter_decimate():
     snr = 10 * np.log10(np.mean(np.abs(want[8:len(got)]) ** 2)
                         / np.mean(np.abs(err) ** 2))
     assert snr > 60.0, snr
+
+
+def test_oversampled_pfb_matches_tune_filter_halfhop():
+    """An oversampled channel equals tune -> prototype lowpass ->
+    decimate-by-K/2 (alias-free across the full channel width)."""
+    from quisk_tpu.ops.channelizer import OversampledPFB, pfb_prototype
+    op = OversampledPFB.create(K, B, taps_per_branch=8)
+    rng = np.random.default_rng(2)
+    n = 4 * B
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+    y = _stream(op, x[None], 4)[0]          # [K, 2n/K]
+    h = pfb_prototype(K, 8)
+    c = 7
+    t = np.arange(n)
+    mixed = x * np.exp(-2j * np.pi * c / K * t)
+    full = np.convolve(mixed, h)[:n]
+    want = full[K // 2 - 1::K // 2]
+    got = y[c]
+    m = min(len(got), len(want))
+    err = got[16:m] - want[16:m]
+    snr = 10 * np.log10(np.mean(np.abs(want[16:m]) ** 2)
+                        / np.mean(np.abs(err) ** 2))
+    assert snr > 60.0, snr
+
+
+def test_oversampled_pfb_channel_edge_tone():
+    """A tone halfway between two channel centers is recoverable from
+    either adjacent channel (critically-sampled PFB would fold it)."""
+    from quisk_tpu.ops.channelizer import OversampledPFB
+    op = OversampledPFB.create(K, B)
+    n = 8 * B
+    c = 20
+    f_norm = (c + 0.5) / K                   # exactly on the channel edge
+    x = np.exp(2j * np.pi * f_norm * np.arange(n)).astype(np.complex64)[None]
+    y = _stream(op, x, 8)
+    ch = y[0, c, 64:]
+    # at 2*fs/K channel rate, the tone sits at +fs/(2K) = quarter rate —
+    # inside the oversampled Nyquist, recover its frequency exactly
+    f = np.fft.fftfreq(len(ch), K / (2 * FS))
+    k = np.argmax(np.abs(np.fft.fft(ch)))
+    assert abs(f[k] - FS / (2 * K)) < 2 * (2 * FS / K) / len(ch)
