@@ -147,12 +147,15 @@ class BandscopeService:
         self.window = np.hanning(fft_size)
         self.accum = np.zeros(fft_size // 2 + 1)
         self.count = 0
+        self._tail = np.zeros(0)
 
     def add_samples(self, adc: np.ndarray) -> None:
-        n = len(adc) // self.fft * self.fft
-        if n == 0:
+        buf = np.concatenate([self._tail, np.asarray(adc, np.float64)])
+        n = len(buf) // self.fft * self.fft
+        self._tail = buf[n:]             # carry partial frames (EP4 packets
+        if n == 0:                       # are much smaller than the FFT)
             return
-        frames = adc[:n].reshape(-1, self.fft) * self.window
+        frames = buf[:n].reshape(-1, self.fft) * self.window
         S = np.abs(np.fft.rfft(frames, axis=-1)) ** 2
         self.accum += S.sum(axis=0)
         self.count += S.shape[0]

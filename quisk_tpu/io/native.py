@@ -260,6 +260,28 @@ class MetisStream:
 
 
 # ------------------------------------------------------------------ ring
+def parse_bandscope_frame(frame: bytes) -> np.ndarray | None:
+    """Hermes EP4 wideband bandscope frame -> raw ADC samples [-1, 1).
+
+    Parity: quisk.c:3589-3616 — endpoint-4 frames carry 512 16-bit
+    little-endian raw ADC samples of the full 0..clock/2 band (no USB
+    sub-frame structure, unlike EP6); the app windows+FFTs them for the
+    bandscope display (quisk_tpu.app.graph.BandscopeService).
+    """
+    if len(frame) < 16 or frame[0] != 0xEF or frame[1] != 0xFE \
+            or frame[2] != 0x01 or frame[3] != 0x04:
+        return None
+    pcm = np.frombuffer(frame, "<i2", offset=8)
+    return pcm.astype(np.float32) / 32768.0
+
+
+def build_bandscope_frame(adc: np.ndarray, seq: int = 0) -> bytes:
+    """EP4 frame builder (tests / hardware simulators)."""
+    pcm = np.clip(np.asarray(adc) * 32768.0, -32768, 32767).astype("<i2")
+    head = bytes([0xEF, 0xFE, 0x01, 0x04]) + int(seq).to_bytes(4, "big")
+    return head + pcm.tobytes()
+
+
 class Ring:
     """SPSC float32 ring buffer (native if built, else NumPy deque-style)."""
 

@@ -100,3 +100,25 @@ def test_ring(built, use_native_if_built):
     wrote = r.push(big)
     assert wrote <= (1 << 12) - 2000
     assert r.overrun_count() >= 1
+
+
+def test_bandscope_ep4_frames_feed_bandscope_service():
+    from quisk_tpu.app.graph import BandscopeService
+    from quisk_tpu.io.native import build_bandscope_frame, parse_bandscope_frame
+
+    clock = 61_440_000.0
+    f0 = 10e6
+    n = 16384
+    adc = 0.5 * np.sin(2 * np.pi * f0 * np.arange(n) / clock)
+    bs = BandscopeService(fft_size=4096, clock_hz=clock, pixels=256)
+    for k in range(0, n, 512):
+        frame = build_bandscope_frame(adc[k:k + 512], seq=k // 512)
+        out = parse_bandscope_frame(frame)
+        assert out is not None and len(out) == 512
+        bs.add_samples(out)
+    db = bs.spectrum_db()
+    assert db is not None
+    freqs = bs.freqs()
+    assert abs(freqs[np.argmax(db)] - f0) < clock / 2 / 256 * 2
+    # malformed frames rejected
+    assert parse_bandscope_frame(b"\xEF\xFE\x01\x06" + b"\0" * 1028) is None
