@@ -69,3 +69,34 @@ def test_settings_roundtrip(tmp_path):
     assert s2.get_radio("hermes").sample_rate == 192000.0
     assert s2.get_state()["band"] == "40m"
     assert s2.radio_names() == ["hermes"]
+
+
+def test_cli_rx_with_stage_flags(tmp_path):
+    """The CLI wires the optional RX stages (--nb/--notch/--nr/--anf/
+    --squelch) into the chain."""
+    v = sources.voice_like(48000.0, 96000)
+    v = 0.5 * v / np.max(np.abs(v))
+    tone = 1.0 * np.sin(2 * np.pi * 1200.0 / 48000.0 * np.arange(96000))
+    iq = sources.ssb_signal(v + tone, 48000.0)
+    iq_p = str(tmp_path / "iq.wav")
+    out_p = str(tmp_path / "audio.wav")
+    wav.write_iq_wav(iq_p, iq, 48000.0)
+    base_p = str(tmp_path / "base.wav")
+    assert cli_main(["rx", "--in", iq_p, "--out", base_p, "--mode", "USB",
+                     "--no-agc"]) == 0
+    assert cli_main(["rx", "--in", iq_p, "--out", out_p, "--mode", "USB",
+                     "--no-agc", "--nb", "2", "--anf", "--nr"]) == 0
+    a, fs = wav.read_audio_wav(out_p)
+    b, _ = wav.read_audio_wav(base_p)
+    assert fs == 48000.0 and np.all(np.isfinite(a))
+    # the ANF stage pushes the 1200 Hz carrier down relative to the
+    # unprocessed run (both outputs are peak-normalised, so compare the
+    # tone-to-voice ratio)
+    n = len(a) // 2
+    F = np.fft.rfftfreq(n, 1 / 48000.0)
+    k = np.argmin(np.abs(F - 1200.0))
+    voice_band = (F > 300) & (F < 2700) & (np.abs(F - 1200.0) > 150)
+    def ratio(x):
+        X = np.abs(np.fft.rfft(x[-n:]))
+        return X[k] / (X[voice_band].mean() + 1e-12)
+    assert ratio(a) < 0.5 * ratio(b), (ratio(a), ratio(b))
