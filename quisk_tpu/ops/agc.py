@@ -105,3 +105,65 @@ class AGC:
         out = ext[:, : a.shape[-1]] * jnp.exp(lg)
         new_delay = ext[:, ext.shape[-1] - W:]
         return (new_delay, lg[:, -1]), out
+
+
+@struct.dataclass
+class HangAGC:
+    """wcpAGC-style AGC with a hang interval (parity wdsp/wcpAGC.c).
+
+    The reference WDSP AGC holds the gain fixed for ``hang_ms`` after a
+    peak (the "hang" of its 5-state attack/hang/decay machine) before the
+    exponential recovery starts — voice between syllables keeps a steady
+    gain instead of pumping.  Realised block-parallel: instantaneous gain
+    limit from a lookahead sliding max (attack), then a per-sample scan
+    carrying (log-gain, hang counter): gain drops immediately to the
+    limit, rises only when the counter has expired.
+    """
+
+    target: jnp.ndarray
+    max_lgain: jnp.ndarray
+    release_inc: jnp.ndarray
+    hang_samples: int = struct.field(pytree_node=False)
+    lookahead: int = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, sample_rate: float, target: float = 0.9,
+               max_gain_db: float = 80.0, release_db_per_s: float = 60.0,
+               hang_ms: float = 250.0, lookahead_ms: float = 15.0):
+        W = max(1, int(round(lookahead_ms * 1e-3 * sample_rate)))
+        inc = np.log(10.0) * release_db_per_s / 20.0 / sample_rate
+        return cls(target=jnp.float32(target),
+                   max_lgain=jnp.float32(np.log(10.0) * max_gain_db / 20.0),
+                   release_inc=jnp.float32(inc),
+                   hang_samples=max(1, int(hang_ms * 1e-3 * sample_rate)),
+                   lookahead=W)
+
+    def init_state(self, channels: int):
+        return (jnp.zeros((channels, self.lookahead), jnp.float32),
+                jnp.zeros((channels,), jnp.float32),
+                jnp.zeros((channels,), jnp.int32))
+
+    def __call__(self, state, a: jnp.ndarray):
+        delay, lg0, hang0 = state
+        W = self.lookahead
+        ext = jnp.concatenate([delay, a], axis=-1)
+        env = sliding_max(jnp.abs(ext), W)[:, : a.shape[-1]]
+        limit = jnp.minimum(
+            jnp.log(self.target / jnp.maximum(env, 1e-9)), self.max_lgain)
+
+        def step(carry, lim):
+            lg, hang = carry
+            attack = lim < lg                      # must reduce gain now
+            lg_new = jnp.where(attack, lim,
+                               jnp.where(hang > 0, lg,
+                                         jnp.minimum(lg + self.release_inc,
+                                                     lim)))
+            hang_new = jnp.where(attack, self.hang_samples,
+                                 jnp.maximum(hang - 1, 0))
+            return (lg_new, hang_new), lg_new
+
+        (lg_f, hang_f), lgs = jax.lax.scan(
+            step, (lg0, hang0), jnp.moveaxis(limit, 1, 0))
+        lg = jnp.moveaxis(lgs, 0, 1)
+        out = ext[:, : a.shape[-1]] * jnp.exp(lg)
+        return (ext[:, ext.shape[-1] - W:], lg_f, hang_f), out

@@ -60,3 +60,51 @@ def test_agc_brings_quiet_signal_up(rng):
         st, last = op(st, a[:, i * B:(i + 1) * B])
     peak = float(np.max(np.abs(np.asarray(last))))
     assert peak > 0.7  # gained up toward target
+
+
+def test_hang_agc_holds_gain_between_peaks():
+    from quisk_tpu.ops.agc import HangAGC
+    FS_, B_ = 48000.0, 2048
+    agc = HangAGC.create(FS_, hang_ms=100.0, release_db_per_s=200.0)
+    # loud burst, then silence shorter than the hang, then quiet voice
+    n = 8 * B_
+    x = np.zeros((1, n), np.float32)
+    x[0, :B_] = 2.0 * np.sin(2 * np.pi * 500 / FS_ * np.arange(B_))
+    x[0, 2 * B_:] = 0.05 * np.sin(2 * np.pi * 500 / FS_ * np.arange(6 * B_))
+    st = agc.init_state(1)
+    outs = []
+    gains = []
+    for i in range(8):
+        st, y = agc(st, x[:, i * B_:(i + 1) * B_])
+        outs.append(np.asarray(y))
+        gains.append(float(np.asarray(st[1])[0]))
+    y = np.concatenate(outs, axis=-1)[0]
+    # burst is limited to ~target
+    assert np.max(np.abs(y[:2 * B_])) < 1.0
+    # during the hang (right after the burst) the gain stays put: the
+    # quiet signal right after is NOT yet pumped up...
+    early_rms = np.sqrt(np.mean(y[2 * B_ + 256: 3 * B_] ** 2))
+    # ...but after the hang expires the release recovers gain
+    late_rms = np.sqrt(np.mean(y[6 * B_:] ** 2))
+    assert late_rms > 3.0 * early_rms, (early_rms, late_rms)
+    # gain trace is monotone through the release
+    assert gains[-1] > gains[2]
+
+
+def test_hang_agc_streaming_invariance():
+    from quisk_tpu.ops.agc import HangAGC
+    FS_, B_ = 48000.0, 1024
+    agc = HangAGC.create(FS_)
+    rng = np.random.default_rng(5)
+    x = (0.3 * rng.standard_normal((2, 4 * B_))).astype(np.float32)
+    st = agc.init_state(2)
+    outs = []
+    for i in range(4):
+        st, y = agc(st, x[:, i * B_:(i + 1) * B_])
+        outs.append(np.asarray(y))
+    y_blocks = np.concatenate(outs, axis=-1)
+    agc2 = HangAGC.create(FS_)
+    st2 = agc2.init_state(2)
+    # one big block (4*B) — same op params, block size only affects shapes
+    st2, y_once = agc2(st2, x)
+    assert np.allclose(y_blocks, np.asarray(y_once), atol=1e-5)
