@@ -149,6 +149,11 @@ class TxChain:
         st["analytic"], z = self.analytic(
             st["analytic"], a.astype(jnp.complex64))
         m = self.mode[:, None]
+        # CW: the "audio" input is the key envelope (shape it with
+        # quisk_tpu.app.cw.KeyEnvelope for click-free 5 ms edges); TX is
+        # the keyed carrier at the TX center frequency
+        is_cw = (m == int(Mode.CWU)) | (m == int(Mode.CWL))
+        iq_cw = audio.astype(jnp.complex64)
         lower = ((m == int(Mode.LSB)) | (m == int(Mode.CWL))
                  | (m == int(Mode.DGT_L)) | (m == int(Mode.FDV_L)))
         iq_ssb = jnp.where(lower, jnp.conj(z), z)
@@ -169,7 +174,9 @@ class TxChain:
 
         is_am = m == int(Mode.AM)
         is_fm = m == int(Mode.FM)
-        iq = jnp.where(is_am, iq_am, jnp.where(is_fm, iq_fm, iq_ssb))
+        iq = jnp.where(is_am, iq_am, jnp.where(is_fm, iq_fm,
+                                               jnp.where(is_cw, iq_cw,
+                                                         iq_ssb)))
 
         if self.cessb is not None:
             # overshoot control applies to the SSB envelope path only

@@ -92,3 +92,27 @@ def test_imd_mode_generates_two_tone():
     floor = np.median(S)
     assert S[k1 - 2:k1 + 3].max() > 100 * floor
     assert S[k2 - 2:k2 + 3].max() > 100 * floor
+
+
+def test_cw_tx_keyed_carrier_is_click_free():
+    from quisk_tpu.app.cw import KeyEnvelope, text_to_key_samples
+    tx = TxChain.create(TxChainConfig(channels=1, alc=False),
+                        mode=int(Mode.CWU))
+    key = text_to_key_samples("paris", 25.0, FS)
+    n = (len(key) // tx.block + 1) * tx.block
+    key = np.resize(key, n)
+    env = KeyEnvelope(FS, rise_ms=5.0).process(key)[None].astype(np.float32)
+    st = tx.init_state()
+    outs = []
+    for i in range(n // tx.block):
+        st, iq = tx.step(st, env[:, i * tx.block:(i + 1) * tx.block])
+        outs.append(np.asarray(iq))
+    iq = np.concatenate(outs, axis=-1)[0]
+    # keyed envelope reproduced on the carrier
+    assert np.max(np.abs(iq)) <= 1.01 and np.max(np.abs(iq)) > 0.9
+    # click-free: keying sidebands beyond +-250 Hz are far below carrier
+    S = np.abs(np.fft.fft(iq * np.hanning(len(iq)))) ** 2
+    f = np.fft.fftfreq(len(iq), 1 / FS)
+    carrier = S[np.abs(f) < 100.0].sum()
+    splatter = S[np.abs(f) > 250.0].sum()
+    assert 10 * np.log10(carrier / (splatter + 1e-12)) > 35.0
