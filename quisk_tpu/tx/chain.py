@@ -73,8 +73,21 @@ class TxChain:
         C = config.channels
         B = config.audio_block
         lo, hi = config.mic_band
-        taps = design.bandpass_analytic(config.filter_taps, lo, hi,
-                                        config.audio_rate)
+        # per-channel TX filters: voice modes get the mic bandpass,
+        # digital modes a wide flat filter (parity microphone.c:605
+        # tx_filter_digital — a wider tuned FIR so data tones pass flat)
+        m_arr = np.broadcast_to(np.asarray(mode, np.int32), (C,))
+        voice_taps = design.bandpass_analytic(config.filter_taps, lo, hi,
+                                              config.audio_rate)
+        dgt_modes = {int(Mode.DGT_U), int(Mode.DGT_L), int(Mode.DGT_IQ),
+                     int(Mode.DGT_FDV), int(Mode.FDV_U), int(Mode.FDV_L)}
+        if any(int(mm) in dgt_modes for mm in m_arr):
+            dgt_taps = design.bandpass_analytic(
+                config.filter_taps, 50.0, 3050.0, config.audio_rate)
+            taps = np.stack([dgt_taps if int(mm) in dgt_modes else voice_taps
+                             for mm in m_arr])
+        else:
+            taps = voice_taps
         analytic = OverlapSaveFIR.create(taps, B)
         pre = (Preemphasis.create(config.preemphasis)
                if config.preemphasis > 0 else None)

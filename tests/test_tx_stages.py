@@ -116,3 +116,24 @@ def test_cw_tx_keyed_carrier_is_click_free():
     carrier = S[np.abs(f) < 100.0].sum()
     splatter = S[np.abs(f) > 250.0].sum()
     assert 10 * np.log10(carrier / (splatter + 1e-12)) > 35.0
+
+
+def test_dgt_tx_uses_wide_flat_filter():
+    """Digital modes pass tones outside the voice band (tx_filter_digital
+    parity): a 2900 Hz tone survives DGT_U but not USB."""
+    t = np.arange(16 * 2048) / FS
+    tone = (0.5 * np.sin(2 * np.pi * 2900.0 * t)).astype(np.float32)
+
+    def run(mode):
+        tx = TxChain.create(TxChainConfig(channels=1, alc=False),
+                            mode=int(mode))
+        st = tx.init_state()
+        outs = []
+        for i in range(16):
+            st, iq = tx.step(st, tone[None, i * tx.block:(i + 1) * tx.block])
+            outs.append(np.asarray(iq))
+        return np.concatenate(outs, axis=-1)[0][8 * 2048:]
+
+    p_dgt = np.mean(np.abs(run(Mode.DGT_U)) ** 2)
+    p_usb = np.mean(np.abs(run(Mode.USB)) ** 2)
+    assert p_dgt > 10.0 * p_usb, (p_dgt, p_usb)
