@@ -50,6 +50,13 @@ class RadioConfig:
     def modes(self) -> Mode:
         return Mode[self.mode]
 
+    def tx_chain_config(self):
+        """Build the TxChainConfig this radio describes."""
+        from quisk_tpu.tx import TxChainConfig
+        return TxChainConfig(
+            channels=1, audio_rate=self.audio_rate, tx_rate=self.tx_rate,
+            fm_deviation_hz=self.fm_deviation_hz)
+
     def rx_chain_config(self):
         """Build the RxChainConfig this radio describes."""
         from quisk_tpu.rx import RxChainConfig
