@@ -44,8 +44,20 @@ class Radio:
         self.settings = settings
         self.status = StatusBoard()
         self.rx_cfg = cfg.rx_chain_config()
-        self.chain = RxChain.create(self.rx_cfg, tune_hz=cfg.tune_hz,
+        # VFO split (parity quisk.c:200 rx_tune_freq = tune - VFO): the chain
+        # tunes by a *baseband offset* within +-sample_rate/2; a CAT client
+        # sends absolute dial frequencies.  Small cfg.tune_hz values are
+        # treated as offsets from a 0 Hz VFO (back-compat for tests/sims);
+        # anything outside the passband centers the VFO on it.
+        if abs(cfg.tune_hz) <= 0.45 * cfg.sample_rate:
+            self.vfo_hz = 0.0
+        else:
+            self.vfo_hz = float(cfg.tune_hz)
+        self.freq_hz = float(cfg.tune_hz)
+        offset = self.freq_hz - self.vfo_hz
+        self.chain = RxChain.create(self.rx_cfg, tune_hz=offset,
                                     mode=int(cfg.modes()))
+        self.cfg.tune_hz = offset
         self.graph = GraphService(fft_size=cfg.fft_size,
                                   block=self.chain.block_in,
                                   channels=1, sample_rate=cfg.sample_rate,
@@ -59,7 +71,7 @@ class Radio:
         if rigctl_port is not None:
             from quisk_tpu.app.rigctl import RadioState, RigctlServer
             st = RadioState()
-            st.freq = int(cfg.tune_hz)
+            st.freq = int(self.freq_hz)
             st.mode = cfg.mode
             st.on_change = self._on_cat_change
             self.rigctl = RigctlServer(st, port=rigctl_port)
@@ -81,9 +93,19 @@ class Radio:
 
     # ---- control --------------------------------------------------------
     def set_frequency(self, freq_hz: float) -> None:
-        self.cfg.tune_hz = float(freq_hz)
-        self.hw.ChangeFrequency(int(freq_hz), int(freq_hz))
-        self.chain = self.chain.retune(self.rx_cfg, tune_hz=freq_hz)
+        """Tune to an absolute dial frequency.  The chain is retuned by
+        ``freq - VFO``; when the offset would leave the passband the VFO
+        recenters on the new frequency (and the hardware is told to move),
+        so a CAT client sending 7.074 MHz never wraps the NCO word
+        (parity quisk.c:200: rx_tune_freq = tune - VFO)."""
+        self.freq_hz = float(freq_hz)
+        offset = self.freq_hz - self.vfo_hz
+        if abs(offset) > 0.45 * self.cfg.sample_rate:
+            self.vfo_hz = self.freq_hz
+            offset = 0.0
+        self.cfg.tune_hz = offset
+        self.hw.ChangeFrequency(int(self.freq_hz), int(self.vfo_hz))
+        self.chain = self.chain.retune(self.rx_cfg, tune_hz=offset)
         self._dirty = True
 
     def set_mode(self, mode: str) -> None:

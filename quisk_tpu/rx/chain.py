@@ -53,6 +53,15 @@ def mode_band(mode: Mode, bandwidth: float | None = None,
     return (-bw / 2.0, bw / 2.0)
 
 
+def _cw_rit(modes: np.ndarray, cw_pitch: float) -> np.ndarray:
+    """Per-channel RIT offset: CW filters center on +-cw_pitch, so the NCO
+    must land a carrier at the dial frequency on the pitch, not DC (the
+    reference applies RIT = -+cwTone on CW mode changes, quisk.py:6175-6177).
+    """
+    return np.where(modes == int(Mode.CWU), -cw_pitch,
+                    np.where(modes == int(Mode.CWL), cw_pitch, 0.0))
+
+
 @dataclasses.dataclass(frozen=True)
 class RxChainConfig:
     """Static configuration of a receive chain (shapes/rates/plan)."""
@@ -100,6 +109,7 @@ class RxChain:
     anf: "object"                         # BlockLMS | None, on audio
     squelch: SSBSquelch | None            # last: mutes audio
     fm_sq: FMSquelch | None               # RF-measured squelch
+    tune_base: jnp.ndarray                # [C] dial frequency (pre-RIT), data
     # static metadata
     channels: int = struct.field(pytree_node=False)
     block_in: int = struct.field(pytree_node=False)
@@ -117,7 +127,11 @@ class RxChain:
         blocks = plan_block_sizes(plan, config.audio_block)
         B_in, B_mid, B_audio = blocks["input"], blocks["mid"], blocks["audio"]
 
-        nco = NCO.create(tune_hz, config.sample_rate, B_in, C)
+        modes = np.broadcast_to(np.asarray(mode, np.int32), (C,))
+        base = np.broadcast_to(np.atleast_1d(
+            np.asarray(tune_hz, np.float64)), (C,))
+        tune_eff = base + _cw_rit(modes, config.cw_pitch)
+        nco = NCO.create(tune_eff, config.sample_rate, B_in, C)
 
         stages = []
         front = None
@@ -133,14 +147,13 @@ class RxChain:
                     and (b // d) % 128 == 0):
                 from quisk_tpu.ops.pallas_kernels import FusedTuneDecimate
                 front = FusedTuneDecimate.create(
-                    taps, tune_hz, config.sample_rate, b, d, C)
+                    taps, tune_eff, config.sample_rate, b, d, C)
             else:
                 # real-tap decimators run as MXU matmuls (MatmulFIR)
                 stages.append(make_fir(taps, b, decim=d))
             b //= d
         assert b == B_mid
 
-        modes = np.broadcast_to(np.asarray(mode, np.int32), (C,))
         if bandwidth_hz is None:
             bands = [mode_band(Mode(int(m)), None, config.cw_pitch)
                      for m in modes]
@@ -183,7 +196,8 @@ class RxChain:
                  if config.fm_squelch else None)
         return cls(nco=nco, front=front, stages=tuple(stages), bp=bp,
                    frac=frac, demod=demod, agc=agc, nb=nb, notch=notch,
-                   nr=nr, anf=anf, squelch=squelch, fm_sq=fm_sq, channels=C,
+                   nr=nr, anf=anf, squelch=squelch, fm_sq=fm_sq,
+                   tune_base=jnp.asarray(base, jnp.float32), channels=C,
                    block_in=B_in, block_audio=B_audio, fs_audio=plan.fs_out)
 
     # --------------------------------------------------------------- retune
@@ -199,19 +213,24 @@ class RxChain:
         crossfade over a few blocks)."""
         C = self.channels
         new = self
-        if tune_hz is not None:
+        modes = np.broadcast_to(
+            np.asarray(mode if mode is not None
+                       else np.asarray(self.demod.mode), np.int32), (C,))
+        if tune_hz is not None or mode is not None:
+            base = (np.broadcast_to(np.atleast_1d(
+                        np.asarray(tune_hz, np.float64)), (C,))
+                    if tune_hz is not None
+                    else np.asarray(self.tune_base, np.float64))
+            tune_eff = base + _cw_rit(modes, config.cw_pitch)
+            new = new.replace(tune_base=jnp.asarray(base, jnp.float32))
             if new.front is not None:
                 from quisk_tpu.ops.nco import freq_word
-                w = freq_word(np.broadcast_to(np.atleast_1d(tune_hz), (C,)),
-                              config.sample_rate)
+                w = freq_word(tune_eff, config.sample_rate)
                 new = new.replace(front=new.front.replace(word=w))
             else:
                 new = new.replace(nco=NCO.create(
-                    tune_hz, config.sample_rate, self.block_in, C))
+                    tune_eff, config.sample_rate, self.block_in, C))
         if mode is not None or bandwidth_hz is not None:
-            modes = np.broadcast_to(
-                np.asarray(mode if mode is not None
-                           else np.asarray(self.demod.mode), np.int32), (C,))
             if bandwidth_hz is None:
                 bands = [mode_band(Mode(int(m)), None, config.cw_pitch)
                          for m in modes]

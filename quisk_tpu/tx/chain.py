@@ -5,11 +5,14 @@ Parity: the reference's ``quisk_process_microphone`` (microphone.c:1092) and
 (~6 dB/oct, microphone.c:452-465), mic AGC, clip + quadratic soft compressor
 (484-518), analytic (Hilbert-by-tuned-FIR) I/Q split (469), ALC with 20 ms
 lookahead (270), per-mode modulators (1226-1278): SSB = the analytic signal,
-AM = 0.5 + audio/2 (1238-1240), FM = e^{j(scale*integral(audio) + CTCSS)}
-(1242-1262), then interpolation to the TX sample rate (1307-1336).
+AM = 0.5 + audio/2 (1238-1240), FM = **phase modulation of the tx_filter'ed
+audio** ``e^{j(audio_scale*x + ctcss_scale*sin)}`` ("phase modulation == FM
+and 6 dB/octave preemphasis", microphone.c:1253-1258), with the CTCSS phase
+amplitude scaled for 15% of total deviation (microphone.c:1247), then
+interpolation to the TX sample rate (1307-1336).
 
-Batched ``[channels, block]``; FM phase is carried across blocks (wrapped
-mod 2 pi each block so float32 never loses precision).
+Batched ``[channels, block]``; the CTCSS oscillator phase is carried across
+blocks (wrapped mod 2 pi each block so float32 never loses precision).
 """
 
 from __future__ import annotations
@@ -60,12 +63,14 @@ class TxChain:
     predist: "object"                   # Predistorter | None
     interp: Interpolator | None
     mode: jnp.ndarray                   # [C] int32
-    fm_word: jnp.ndarray                # rad/sample per unit audio
+    pm_gain: jnp.ndarray                # rad per unit *bandpassed* audio
     ctcss_word: jnp.ndarray             # rad/sample CTCSS increment
+    ctcss_amp: jnp.ndarray              # rad CTCSS phase amplitude
     am_carrier: jnp.ndarray
     channels: int = struct.field(pytree_node=False)
     block: int = struct.field(pytree_node=False)
     block_tx: int = struct.field(pytree_node=False)
+    audio_rate: float = struct.field(pytree_node=False, default=48000.0)
 
     @classmethod
     def create(cls, config: TxChainConfig,
@@ -112,13 +117,28 @@ class TxChain:
             from quisk_tpu.tx.puresignal import Predistorter
             predist = Predistorter.identity()
         m = jnp.broadcast_to(jnp.asarray(mode, jnp.int32), (C,))
-        fm_w = TWO_PI * config.fm_deviation_hz / config.audio_rate
+        # FM is phase modulation of the bandpassed audio: a modulation index
+        # beta rad per full-scale unit reaches fm_deviation_hz at the band
+        # edge (deviation of PM = beta * f_audio).  The reference anchors
+        # "total deviation" the same way (microphone.c:1242-1262: audio_scale
+        # = modulation_index/CLIP16, scaled x0.85 when CTCSS is on; the CTCSS
+        # phase amplitude 450*mi/f_ctcss is 15% of the 3000*mi total).  The
+        # factor 2 compensates the analytic filter's 0.5x real-part gain.
+        beta = config.fm_deviation_hz / config.mic_band[1]
+        if config.ctcss_hz > 9.0:
+            pm_gain = 2.0 * 0.85 * beta
+            ct_amp = 0.15 * config.fm_deviation_hz / config.ctcss_hz
+        else:
+            pm_gain = 2.0 * beta
+            ct_amp = 0.0
         ct_w = TWO_PI * config.ctcss_hz / config.audio_rate
         return cls(analytic=analytic, preemph=pre, comp=comp, alc=alc,
                    cessb=cessb, predist=predist, interp=interp, mode=m,
-                   fm_word=jnp.float32(fm_w), ctcss_word=jnp.float32(ct_w),
+                   pm_gain=jnp.float32(pm_gain), ctcss_word=jnp.float32(ct_w),
+                   ctcss_amp=jnp.float32(ct_amp),
                    am_carrier=jnp.float32(config.am_carrier),
-                   channels=C, block=B, block_tx=B * L)
+                   channels=C, block=B, block_tx=B * L,
+                   audio_rate=config.audio_rate)
 
     def init_state(self):
         C = self.channels
@@ -127,7 +147,6 @@ class TxChain:
             "analytic": self.analytic.init_state(C),
             "preemph": self.preemph.init_state(C) if self.preemph else (),
             "alc": self.alc.init_state(C) if self.alc else (),
-            "fm_phase": jnp.zeros((C,), jnp.float32),
             "ctcss_phase": jnp.zeros((C,), jnp.float32),
             "interp": self.interp.init_state(C) if self.interp else (),
             "cessb": self.cessb.init_state(C) if self.cessb else (),
@@ -142,8 +161,8 @@ class TxChain:
         m0 = self.mode[:, None]
         is_imd = m0 == int(Mode.IMD)
         n = jnp.arange(self.block, dtype=jnp.float32)[None, :] + 1.0
-        w1 = TWO_PI * 700.0 / 48000.0
-        w2 = TWO_PI * 1900.0 / 48000.0
+        w1 = TWO_PI * 700.0 / self.audio_rate
+        w2 = TWO_PI * 1900.0 / self.audio_rate
         ph1 = st["imd_phase"][:, 0:1] + w1 * n
         ph2 = st["imd_phase"][:, 1:2] + w2 * n
         two_tone = 0.5 * (jnp.sin(ph1) + jnp.sin(ph2))
@@ -175,14 +194,14 @@ class TxChain:
         env = self.am_carrier + (1.0 - self.am_carrier) * jnp.real(z)
         iq_am = env.astype(jnp.complex64)
 
-        # FM: integrate audio into phase, add CTCSS tone, wrap mod 2pi
-        pha = st["fm_phase"][:, None] + self.fm_word * jnp.cumsum(a, axis=-1)
+        # FM: phase-modulate the bandpassed audio (memoryless, == FM with
+        # 6 dB/oct preemphasis), add the CTCSS tone at 15% of total
+        # deviation (microphone.c:1245-1258)
         n = jnp.arange(self.block, dtype=jnp.float32)[None, :] + 1.0
         ct = st["ctcss_phase"][:, None] + self.ctcss_word * n
-        total = pha + 0.15 * jnp.sin(ct)
+        total = self.pm_gain * jnp.real(z) + self.ctcss_amp * jnp.sin(ct)
         import jax
         iq_fm = jax.lax.complex(jnp.cos(total), jnp.sin(total))
-        st["fm_phase"] = jnp.mod(pha[:, -1], TWO_PI)
         st["ctcss_phase"] = jnp.mod(ct[:, -1], TWO_PI)
 
         is_am = m == int(Mode.AM)

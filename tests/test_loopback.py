@@ -53,10 +53,12 @@ def test_fm_tx_rx_roundtrip():
     voice, audio = _loopback(Mode.FM)
     seg = slice(8 * B, 16 * B)
     from scipy import signal as sig
-    # the RX applies 300 Hz de-emphasis the TX does not pre-emphasize;
-    # apply the same one-pole to the reference before comparing
+    # FM TX phase-modulates the audio (microphone.c:1253-1258); the RX
+    # discriminator differentiates the phase and applies 300 Hz
+    # de-emphasis, so the oracle is d/dt(voice) through the same one-pole
     a_de = np.exp(-2.0 * np.pi * 300.0 / FS)
-    v_ref = sig.lfilter([1.0 - a_de], [1.0, -a_de], voice)
+    v_ref = sig.lfilter([1.0 - a_de], [1.0, -a_de],
+                        np.diff(voice, prepend=0.0))
     core = sig.firwin(257, [500.0, 2200.0], fs=FS, pass_zero=False)
     v = np.convolve(v_ref[seg], core, "same")
     a = np.convolve(audio[seg], core, "same")

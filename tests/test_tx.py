@@ -37,7 +37,10 @@ def test_tx_ssb_spectrum_one_sided():
 
 
 def test_tx_fm_deviation():
-    tone = np.sin(2 * np.pi * 1000.0 / FS * np.arange(8 * B)).astype(np.float32)
+    # FM TX is phase modulation of the bandpassed audio (microphone.c:1253-
+    # 1258): a full-scale tone at f gives deviation fm_deviation * f/band_hi.
+    f_tone = 1000.0
+    tone = np.sin(2 * np.pi * f_tone / FS * np.arange(8 * B)).astype(np.float32)
     tx = TxChain.create(TxChainConfig(channels=1, alc=False,
                                       fm_deviation_hz=2500.0),
                         mode=int(Mode.FM))
@@ -45,10 +48,28 @@ def test_tx_fm_deviation():
     # constant envelope
     mag = np.abs(iq[0][B:])
     assert np.max(np.abs(mag - 1.0)) < 1e-3
-    # instantaneous frequency peak ~ 2500 Hz
+    # instantaneous frequency peak: PM deviation scales with audio frequency
+    want = 2500.0 * f_tone / 2700.0
     dphi = np.angle(iq[0][1:] * np.conj(iq[0][:-1]))
     finst = dphi * FS / (2 * np.pi)
-    assert abs(np.max(finst[B:]) - 2500.0) < 150.0
+    assert abs(np.max(finst[B:]) - want) < 0.1 * want
+
+
+def test_tx_fm_ctcss_deviation():
+    # CTCSS rides at 15% of total deviation (microphone.c:1247): with no
+    # audio, instantaneous frequency is a 100 Hz tone of ~0.15*2500 Hz peak.
+    tx = TxChain.create(TxChainConfig(channels=1, alc=False,
+                                      fm_deviation_hz=2500.0, ctcss_hz=100.0),
+                        mode=int(Mode.FM))
+    iq = _stream_tx(tx, np.zeros((1, 8 * B), np.float32))
+    dphi = np.angle(iq[0][1:] * np.conj(iq[0][:-1]))
+    finst = dphi * FS / (2 * np.pi)
+    peak = np.max(np.abs(finst[B:]))
+    assert abs(peak - 0.15 * 2500.0) < 0.05 * 2500.0
+    # and the tone is at the CTCSS frequency
+    X = np.abs(np.fft.rfft(finst[B:B + 4 * B]))
+    f = np.fft.rfftfreq(4 * B, 1 / FS)
+    assert abs(f[np.argmax(X[1:]) + 1] - 100.0) < 15.0
 
 
 def test_tx_am_envelope():
@@ -75,10 +96,14 @@ def test_tx_rx_loopback(mode):
     st, audio = rx.process(st, iq)
     audio = np.asarray(audio)[0]
     if mode == Mode.FM:
-        # FM modulates the raw audio (no TX bandpass) and the RX demod
-        # applies 300 Hz de-emphasis
+        # FM TX phase-modulates the bandpassed audio; the RX discriminator
+        # differentiates the phase and applies 300 Hz de-emphasis, so the
+        # oracle is d/dt(bandpassed voice) through the same one-pole
+        from quisk_tpu.ops import design
+        taps = design.bandpass_analytic(513, 300.0, 2700.0, FS)
+        _, bp = dsp.fir_stream(voice.astype(np.float64), np.real(taps) * 2.0)
         a = np.exp(-2 * np.pi * 300.0 / FS)
-        ref = dsp.one_pole(voice.astype(np.float64), a, 1 - a)
+        ref = dsp.one_pole(np.diff(bp, prepend=0.0), a, 1 - a)
     else:
         # TX bandpass limits to 300-2700: compare against the TX's own
         # real bandpassed audio (what actually went on air)
