@@ -65,6 +65,39 @@ def fm_signal(audio: np.ndarray, fs: float, deviation_hz: float = 5000.0,
     return z
 
 
+def station_iq(mode, fs: float, n: int, carrier_hz: float = 0.0,
+               seed: int = 0, fm_deviation_hz: float = 5000.0,
+               cw_pitch: float = 0.0) -> np.ndarray:
+    """Deterministic one-station IQ capture of the given Mode at carrier_hz.
+
+    The per-mode modulated test signal the reference injects as its test
+    tone (quisk.c:1258-1303 has plain/AM/FM variants); used by the sharded
+    conformance tests so every channel of a mixed-mode batch receives a
+    well-conditioned signal (FM demod of raw noise is chaotic in the
+    discriminator's angle()).
+    """
+    from quisk_tpu.modes import Mode
+
+    m = Mode(int(mode))
+    if m in (Mode.CWU, Mode.CWL):
+        # keyed carrier on the dial (the RX RIT moves it to the pitch)
+        key = (np.arange(n) // int(fs * 0.05)) % 2
+        return (key * tone(carrier_hz + cw_pitch, fs, n)).astype(np.complex64)
+    voice = voice_like(fs, n, seed=seed, band=(300.0, 2500.0))
+    voice = voice / np.abs(voice).max()     # peak-normalize: keeps the FM
+    if m == Mode.AM:                        # carrier inside the channel
+        z = am_signal(voice, fs, carrier_hz, depth=0.6)
+    elif m == Mode.FM:
+        # Carson bandwidth (dev + f_max) must stay inside the RX channel
+        # filter or the envelope collapses and the discriminator's angle
+        # becomes chaotic; 0.6x deviation of a peak-1 voice is safely in
+        z = fm_signal(0.6 * voice, fs, deviation_hz=fm_deviation_hz,
+                      carrier_hz=carrier_hz)
+    else:                       # SSB-ish (USB/LSB/DGT/FDV/EXT/IQ)
+        z = ssb_signal(voice, fs, carrier_hz, lower=m.is_lower)
+    return z.astype(np.complex64)
+
+
 def awgn(x: np.ndarray, snr_db: float, seed: int = 1) -> np.ndarray:
     """Add complex white Gaussian noise at the given SNR."""
     rng = np.random.default_rng(seed)

@@ -34,6 +34,35 @@ def make_global_iq(local_iq: np.ndarray, mesh: Mesh,
     return jax.make_array_from_process_local_data(sharding, local_iq)
 
 
+def shard_tree_multihost(tree, mesh: Mesh, channels: int,
+                         axis: str = "chan"):
+    """Multi-process version of :func:`quisk_tpu.parallel.shard_over_channels`:
+    leaves with a leading [channels] dim are sharded over ``axis`` with each
+    process contributing its local row slice; everything else is replicated.
+
+    Under one process this degrades to plain sharded device_put (same
+    numerics as the single-host path); under ``jax.distributed`` every array
+    is assembled with ``make_array_from_process_local_data``.
+    """
+    from quisk_tpu.parallel.shard import channel_pspecs
+
+    specs = channel_pspecs(tree, channels, axis)
+    n_proc = jax.process_count()
+    lo = jax.process_index() * channels // n_proc
+    hi = (jax.process_index() + 1) * channels // n_proc
+
+    def put(leaf, spec):
+        sharding = NamedSharding(mesh, spec)
+        if n_proc == 1:
+            return jax.device_put(leaf, sharding)
+        local = np.asarray(leaf)
+        if spec and spec[0] == axis:
+            local = np.ascontiguousarray(local[lo:hi])
+        return jax.make_array_from_process_local_data(sharding, local)
+
+    return jax.tree.map(put, tree, specs)
+
+
 class ShardedFileIngest:
     """Per-host file reader for a channel-sharded capture: host k reads
     channels [k*C/N, (k+1)*C/N) from its own file/slice and feeds

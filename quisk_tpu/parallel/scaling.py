@@ -1,0 +1,114 @@
+"""Scaling-efficiency harness: samples/s at 1..N devices, strong and weak.
+
+The BASELINE target is ">=80% efficiency from 1 chip -> 1 host -> N>=2
+hosts" (BASELINE.md; the reference's analogue is its multi-receiver fan-out,
+quisk.c:3545, and the ac2yd/ two-machine split).  This module measures it:
+the sharded flagship receive step is timed at increasing device counts and
+the throughput/efficiency table is printed by ``dryrun_multichip`` and by
+``bench.py --scaling``.
+
+Weak scaling holds the per-device channel count fixed (the production
+shape: more chips -> more receivers); strong scaling holds the total fixed.
+Efficiency(n) = throughput(n) / (n * throughput(1)) for weak scaling.
+
+On the virtual-CPU mesh (tests, the driver's dry run) all "devices" share
+one host's cores, so the absolute numbers only validate the harness; on a
+real slice the same code measures ICI-scaled throughput.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from quisk_tpu.parallel.shard import make_mesh, shard_over_channels
+
+
+@dataclasses.dataclass
+class ScalePoint:
+    devices: int
+    channels: int
+    samples_per_s: float
+    efficiency: float      # vs the 1-device anchor (weak-scaling definition)
+    step_ms: float
+
+
+def _time_step(step, chain, state, x, iters: int, sync: Callable) -> float:
+    """Median wall time per step, honest sync per iteration."""
+    state, audio = step(chain, state, x)      # warm up / compile
+    sync(audio)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        state, audio = step(chain, state, x)
+        sync(audio)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def measure_scaling(device_counts: Sequence[int] = (1, 2, 4, 8),
+                    channels_per_device: int = 16,
+                    sample_rate: float = 192000.0,
+                    audio_block: int = 512,
+                    iters: int = 5,
+                    weak: bool = True,
+                    make_chain: Callable | None = None) -> list[ScalePoint]:
+    """Time the sharded flagship step at each device count.
+
+    ``make_chain(channels)`` defaults to the __graft_entry__ flagship; the
+    1-device point anchors efficiency.  Returns points sorted by devices.
+    """
+    if make_chain is None:
+        import __graft_entry__
+        make_chain = lambda c: __graft_entry__._flagship(
+            channels=c, sample_rate=sample_rate, audio_block=audio_block)
+
+    avail = len(jax.devices())
+    counts = [n for n in device_counts if n <= avail]
+    base_channels = channels_per_device * (1 if weak else max(counts))
+
+    def sync(audio):
+        # block_until_ready alone has returned early on the axon runtime;
+        # force a tiny host fetch (CLAUDE.md)
+        float(jnp.sum(jnp.abs(audio[0, :1])))
+
+    points: list[ScalePoint] = []
+    anchor = None
+    for n in counts:
+        C = channels_per_device * n if weak else base_channels
+        mesh = make_mesh(n)
+        chain = make_chain(C)
+        state = chain.init_state()
+        chain_s = shard_over_channels(chain, mesh, C)
+        state_s = shard_over_channels(state, mesh, C)
+        x = jax.device_put(
+            jnp.zeros((C, chain.block_in), dtype=jnp.complex64),
+            NamedSharding(mesh, P("chan", None)))
+
+        @jax.jit
+        def step(ch, st, xx):
+            return ch.step(st, xx)
+
+        dt = _time_step(step, chain_s, state_s, x, iters, sync)
+        sps = C * chain.block_in / dt
+        if anchor is None:
+            anchor = sps / n
+        eff = sps / (n * anchor)
+        points.append(ScalePoint(devices=n, channels=C, samples_per_s=sps,
+                                 efficiency=eff, step_ms=dt * 1e3))
+    return points
+
+
+def format_table(points: Sequence[ScalePoint], title: str = "weak") -> str:
+    lines = [f"scaling ({title}): devices  channels  Msps  efficiency  ms/step"]
+    for p in points:
+        lines.append(f"  {p.devices:7d}  {p.channels:8d}  "
+                     f"{p.samples_per_s / 1e6:8.1f}  {p.efficiency:9.2%}  "
+                     f"{p.step_ms:7.2f}")
+    return "\n".join(lines)

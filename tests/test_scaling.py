@@ -1,0 +1,20 @@
+"""Scaling harness sanity: the weak-scaling measurement runs at 1..8
+virtual devices and reports well-formed throughput/efficiency points
+(BASELINE.md scaling row; the real-slice numbers come from the same code)."""
+
+import numpy as np
+
+from quisk_tpu.parallel.scaling import format_table, measure_scaling
+
+
+def test_measure_scaling_points():
+    pts = measure_scaling(device_counts=(1, 2, 4), channels_per_device=8,
+                          sample_rate=192000.0, audio_block=256, iters=1)
+    assert [p.devices for p in pts] == [1, 2, 4]
+    for p in pts:
+        assert p.channels == 8 * p.devices        # weak scaling
+        assert p.samples_per_s > 0 and p.step_ms > 0
+        assert 0 < p.efficiency <= 1.5            # sane, not asserted >=80%
+    assert pts[0].efficiency == 1.0               # anchor
+    table = format_table(pts)
+    assert "efficiency" in table and table.count("\n") == len(pts)
