@@ -133,6 +133,29 @@ class HermesHardware(Hardware):
         self.transport = transport
         self.board = None
         self._row = 0
+        self.pump = None
+
+    # ---- live sample plane (quisk.c:3519 read_rx_udp10 equivalent) -------
+    def start_pump(self, port: int = 0, host: str = "127.0.0.1"):
+        """Bind the live UDP sample pump; returns (host, port) the radio
+        (or a test sender) should stream 1032-byte Metis frames to."""
+        from quisk_tpu.io.native import MetisStream
+        from quisk_tpu.io.pump import UdpPump
+
+        self.pump = UdpPump(MetisStream(n_rx=self.ctl.n_rx),
+                            n_rx=self.ctl.n_rx, port=port, host=host)
+        self.pump.start()
+        return self.pump.local_addr
+
+    def read_samples(self, n: int):
+        if self.pump is None:
+            return None
+        return self.pump.read_samples(n)
+
+    def close(self) -> None:
+        if self.pump is not None:
+            self.pump.stop()
+            self.pump = None
 
     def open(self) -> str:
         if self.transport is not None:

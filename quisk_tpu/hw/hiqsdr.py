@@ -125,6 +125,28 @@ class HiqsdrHardware(Hardware):
         self.ctl = HiqsdrControl(clock_hz)
         self.transport = transport
         self.acked = False
+        self.pump = None
+
+    # ---- live sample plane (quisk.c:3284 quisk_read_rx_udp equivalent) ---
+    def start_pump(self, port: int = 0, host: str = "127.0.0.1"):
+        """Bind the live UDP sample pump; returns (host, port) to stream
+        1442-byte HiQSDR packets to."""
+        from quisk_tpu.io.native import HiqsdrStream
+        from quisk_tpu.io.pump import UdpPump
+
+        self.pump = UdpPump(HiqsdrStream(), n_rx=1, port=port, host=host)
+        self.pump.start()
+        return self.pump.local_addr
+
+    def read_samples(self, n: int):
+        if self.pump is None:
+            return None
+        return self.pump.read_samples(n)
+
+    def close(self) -> None:
+        if self.pump is not None:
+            self.pump.stop()
+            self.pump = None
 
     def open(self) -> str:
         self._send_ctl()

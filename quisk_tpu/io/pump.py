@@ -1,0 +1,209 @@
+"""Live sample-plane pump: UDP socket -> frame codec -> SPSC ring ->
+block assembler feeding the chain.
+
+Parity: the reference's sample plane is a running select/recv loop per
+transport — ``quisk_read_rx_udp`` (quisk.c:3284, HiQSDR 1442-byte packets)
+and ``read_rx_udp10`` (quisk.c:3519, Metis 1032-byte frames) — drained by
+``quisk_read_sound`` (sound.c:873) once per block.  Here the reader is a
+thread owning the socket; parsed I/Q lands in the lock-free ring
+(native/ingest.cpp when built) as interleaved float32, and
+:meth:`UdpPump.read_samples` assembles ``[n_rx, n]`` complex blocks for
+``Hardware.read_samples`` — the TPU feed then double-buffers via the jit
+dispatch queue (dispatch N+1 is issued while N computes).
+
+TX pacing (:class:`TxPacer`) is the reference's ``tx_records`` flow
+control (quisk.c:3622, microphone.c:775): TX frames are credited against
+received RX samples so the radio's TX buffer neither starves nor floods.
+"""
+
+from __future__ import annotations
+
+import select
+import socket
+import threading
+
+import numpy as np
+
+from quisk_tpu.io.native import Ring
+
+
+class UdpPump:
+    """Reader thread: UDP port -> codec.parse -> per-receiver rings.
+
+    ``codec`` is a :class:`~quisk_tpu.io.native.HiqsdrStream` or
+    :class:`~quisk_tpu.io.native.MetisStream` (anything with
+    ``parse(pkt)`` returning ``(iq, ...)`` with iq ``[ns]`` or
+    ``[n_rx, ns]`` complex, plus ``seq_errors``).  Bind to port 0 for an
+    ephemeral test port; ``local_addr`` tells the sender where to aim
+    (the reference registers its return address the same way,
+    quisk.c:3317-3320).
+    """
+
+    def __init__(self, codec, n_rx: int = 1, port: int = 0,
+                 host: str = "127.0.0.1", ring_samples: int = 1 << 20):
+        self.codec = codec
+        self.n_rx = n_rx
+        self.rings = [Ring(2 * ring_samples) for _ in range(n_rx)]
+        self.mic_ring = Ring(ring_samples)
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        # a deep kernel buffer rides out GC/scheduling hiccups at Msps
+        # packet rates (the reference relies on the same, quisk.c:4002)
+        try:
+            self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF,
+                                 1 << 22)
+        except OSError:
+            pass
+        self.sock.bind((host, port))
+        self.sock.setblocking(False)
+        self.local_addr = self.sock.getsockname()
+        self._thread: threading.Thread | None = None
+        self._run = False
+        self.packets = 0
+        self.bad_packets = 0
+        self.samples = 0
+        self.starved = 0
+        self.peer = None              # last sender address
+
+    # ---- lifecycle ------------------------------------------------------
+    def start(self) -> None:
+        self._run = True
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="quisk-udp-pump")
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._run = False
+        if self._thread is not None:
+            self._thread.join(timeout=2.0)
+            self._thread = None
+        self.sock.close()
+
+    # ---- the select/recv loop (the reference's C pump) -------------------
+    def _loop(self) -> None:
+        while self._run:
+            r, _, _ = select.select([self.sock], [], [], 0.1)
+            if not r:
+                continue
+            # drain everything queued before going back to select
+            while True:
+                try:
+                    pkt, addr = self.sock.recvfrom(2048)
+                except BlockingIOError:
+                    break
+                self.peer = addr
+                parsed = self.codec.parse(pkt)
+                if parsed is None:
+                    self.bad_packets += 1
+                    continue
+                self.packets += 1
+                iq = parsed[0] if isinstance(parsed, tuple) else parsed
+                iq = np.atleast_2d(iq)
+                ns = iq.shape[-1]
+                self.samples += ns
+                inter = np.empty((iq.shape[0], 2 * ns), np.float32)
+                inter[:, 0::2] = iq.real
+                inter[:, 1::2] = iq.imag
+                for r_i in range(min(self.n_rx, iq.shape[0])):
+                    self.rings[r_i].push(inter[r_i])
+                if isinstance(parsed, tuple) and len(parsed) >= 2 \
+                        and np.ndim(parsed[1]) == 1:
+                    # Metis frames interleave the radio's mic stream
+                    mic = np.asarray(parsed[1]).astype(np.float32)
+                    if np.asarray(parsed[1]).dtype == np.int16:
+                        mic /= 32768.0
+                    self.mic_ring.push(mic)
+
+    # ---- block assembly --------------------------------------------------
+    def available(self) -> int:
+        """Complex samples ready on the least-filled receiver ring."""
+        return min(len(r) for r in self.rings) // 2
+
+    def read_samples(self, n: int) -> np.ndarray | None:
+        """Assemble one ``[n_rx, n]`` complex64 block, or None (starved)."""
+        if self.available() < n:
+            self.starved += 1
+            return None
+        out = np.empty((self.n_rx, n), np.complex64)
+        for r_i, ring in enumerate(self.rings):
+            flat = ring.pop(2 * n)
+            out[r_i] = flat[0::2] + 1j * flat[1::2]
+        return out
+
+    def read_mic(self, n: int) -> np.ndarray | None:
+        if len(self.mic_ring) < n:
+            return None
+        return self.mic_ring.pop(n)
+
+    def stats(self) -> dict:
+        return {
+            "packets": self.packets,
+            "bad_packets": self.bad_packets,
+            "samples": self.samples,
+            "seq_errors": getattr(self.codec, "seq_errors", 0),
+            "ring_overruns": sum(r.overrun_count() for r in self.rings),
+            "starved": self.starved,
+            "fill": self.available(),
+        }
+
+
+class TxPacer:
+    """Credit-based TX flow control tied to RX receipt (quisk.c:3622).
+
+    Every received RX sample earns ``tx_rate/rx_rate`` samples of TX
+    credit; a TX block may be sent only when fully covered by credit.
+    ``max_credit_samples`` bounds the radio-side buffer depth the same way
+    the reference bounds ``tx_records`` — a burst after a stall cannot
+    flood the TX FIFO.
+    """
+
+    def __init__(self, rx_rate: float, tx_rate: float,
+                 max_credit_samples: int = 4096):
+        self.ratio = tx_rate / rx_rate
+        self.max_credit = float(max_credit_samples)
+        self.credit = 0.0
+        self.sent = 0
+        self.blocked = 0
+
+    def on_rx_samples(self, n_rx: int) -> None:
+        self.credit = min(self.max_credit, self.credit + n_rx * self.ratio)
+
+    def try_send(self, n_tx: int) -> bool:
+        """True (and debits credit) when ``n_tx`` samples may be sent now."""
+        if self.credit >= n_tx:
+            self.credit -= n_tx
+            self.sent += n_tx
+            return True
+        self.blocked += 1
+        return False
+
+
+class PacketSender:
+    """Test/loopback helper: streams IQ as codec packets to a UDP address
+    at (a multiple of) real-time — the hardware simulator side of the
+    reference's replay fixtures (quisk.c:292-577 WAV sample replay)."""
+
+    def __init__(self, build_packet, addr, pairs_per_packet: int):
+        self.build = build_packet
+        self.addr = addr
+        self.pairs = pairs_per_packet
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+
+    def send_stream(self, iq: np.ndarray, rate_hz: float | None = None
+                    ) -> int:
+        """Send the whole capture; if ``rate_hz``, pace to that rate.
+        Returns packets sent."""
+        import time
+        n = 0
+        t0 = time.perf_counter()
+        for k in range(0, len(iq) - self.pairs + 1, self.pairs):
+            self.sock.sendto(self.build(iq[k:k + self.pairs]), self.addr)
+            n += 1
+            if rate_hz is not None:
+                target = (k + self.pairs) / rate_hz
+                dt = target - (time.perf_counter() - t0)
+                if dt > 0:
+                    time.sleep(dt)
+        return n
+
+    def close(self) -> None:
+        self.sock.close()

@@ -83,8 +83,10 @@ class PFBChannelizer:
         idx = jnp.arange(M)[:, None] + jnp.arange(P)[None, :]  # [M, P]
         win = frames[:, idx, ::-1]                # [S, M, P, K] (q reversed)
         hp = self.h_poly[::-1]                    # branch-time reversed
-        vr = jnp.einsum("smpk,pk->smk", jnp.real(win), hp)
-        vi = jnp.einsum("smpk,pk->smk", jnp.imag(win), hp)
+        vr = jnp.einsum("smpk,pk->smk", jnp.real(win), hp,
+                        precision=jax.lax.Precision.HIGHEST)
+        vi = jnp.einsum("smpk,pk->smk", jnp.imag(win), hp,
+                        precision=jax.lax.Precision.HIGHEST)
         v = jax.lax.complex(vr, vi)
         y = jnp.fft.ifft(v, axis=-1) * K          # [S, M, K]
         ang = (2.0 * np.pi / K) * jnp.arange(K, dtype=jnp.float32)
@@ -147,8 +149,10 @@ class OversampledPFB:
         base = (jnp.arange(n_out) * M)[:, None]
         win = ext[:, base + jnp.arange(P * K)[None, :]]   # [S, n_out, P*K]
         win = win.reshape(S, n_out, P, K)[:, :, ::-1, ::-1]
-        vr = jnp.einsum("smpk,pk->smk", jnp.real(win), self.h_poly)
-        vi = jnp.einsum("smpk,pk->smk", jnp.imag(win), self.h_poly)
+        vr = jnp.einsum("smpk,pk->smk", jnp.real(win), self.h_poly,
+                        precision=jax.lax.Precision.HIGHEST)
+        vi = jnp.einsum("smpk,pk->smk", jnp.imag(win), self.h_poly,
+                        precision=jax.lax.Precision.HIGHEST)
         v = jax.lax.complex(vr, vi)
         y = jnp.fft.ifft(v, axis=-1) * K           # [S, n_out, K]
         # constant per-channel phase from the history alignment ...

@@ -48,7 +48,8 @@ class DiversityCombiner:
     def __call__(self, state, x: jnp.ndarray):
         """x [C, 2, B] complex -> (state, y [C, B])."""
         w = jax.lax.complex(self.w_re, self.w_im)
-        return state, jnp.einsum("cp,cpb->cb", w, x)
+        return state, jnp.einsum("cp,cpb->cb", w, x,
+                                 precision=jax.lax.Precision.HIGHEST)
 
 
 def estimate_max_snr_weights(x: np.ndarray) -> np.ndarray:

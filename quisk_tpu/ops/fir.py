@@ -138,7 +138,8 @@ def _conv_valid(x: jnp.ndarray, taps: jnp.ndarray, stride: int) -> jnp.ndarray:
         lhs = jnp.stack([xr, xi], axis=1)                    # [C, 2, L]
         out = jax.lax.conv_general_dilated(
             lhs, kern, window_strides=(stride,), padding="VALID",
-            dimension_numbers=("NCH", "OIH", "NCH"))
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            precision=jax.lax.Precision.HIGHEST)
         return jax.lax.complex(out[:, 0, :], out[:, 1, :])
     hr = jnp.asarray(h, dtype=jnp.float32)[None, None, :]    # [1, 1, T]
     if complex_in:
@@ -147,12 +148,14 @@ def _conv_valid(x: jnp.ndarray, taps: jnp.ndarray, stride: int) -> jnp.ndarray:
         lhs = jnp.concatenate([xr, xi], axis=0)[:, None, :]  # [2C, 1, L]
         out = jax.lax.conv_general_dilated(
             lhs, hr, window_strides=(stride,), padding="VALID",
-            dimension_numbers=("NCH", "OIH", "NCH"))[:, 0, :]
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            precision=jax.lax.Precision.HIGHEST)[:, 0, :]
         c = x.shape[0]
         return jax.lax.complex(out[:c], out[c:])
     out = jax.lax.conv_general_dilated(
         x.astype(jnp.float32)[:, None, :], hr, window_strides=(stride,),
-        padding="VALID", dimension_numbers=("NCH", "OIH", "NCH"))
+        padding="VALID", dimension_numbers=("NCH", "OIH", "NCH"),
+            precision=jax.lax.Precision.HIGHEST)
     return out[:, 0, :]
 
 

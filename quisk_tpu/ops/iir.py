@@ -156,11 +156,15 @@ class Biquad:
         def combine(lhs, rhs):
             A1, b1v = lhs
             A2, b2v = rhs
-            return A2 @ A1, jnp.einsum("...ij,...j->...i", A2, b1v) + b2v
+            hp = jax.lax.Precision.HIGHEST
+            return (jnp.matmul(A2, A1, precision=hp),
+                    jnp.einsum("...ij,...j->...i", A2, b1v, precision=hp)
+                    + b2v)
 
         A_cum, b_cum = jax.lax.associative_scan(combine, (A, bv), axis=1)
         s0 = jnp.stack([y1, y2], axis=-1)                     # [C, 2]
-        y = (jnp.einsum("cbij,cj->cbi", A_cum, s0) + b_cum)[..., 0]
+        y = (jnp.einsum("cbij,cj->cbi", A_cum, s0,
+                        precision=jax.lax.Precision.HIGHEST) + b_cum)[..., 0]
         return (x[:, -1], x[:, -2], y[:, -1], y[:, -2]), y
 
 

@@ -65,7 +65,8 @@ class NoiseBlanker:
         pw = jax.lax.conv_general_dilated(
             pulse[:, None, :], self.kernel[None, None, :], (1,),
             padding=[(self.kwidth // 2, self.kwidth // 2)],
-            dimension_numbers=("NCH", "OIH", "NCH"))[:, 0, :]
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            precision=jax.lax.Precision.HIGHEST)[:, 0, :]
         gain = jnp.clip(1.0 - pw, 0.0, 1.0)
         new_hist = xe[:, xe.shape[-1] - (self.avg_win - 1):]
         return new_hist, x * gain

@@ -207,13 +207,15 @@ class BlockLMS:
             blk = xs                                       # [C, sub]
             ext = jnp.concatenate([tl, blk], axis=-1)      # [C, hist+sub]
             win = ext[:, widx]                             # [C, sub, taps]
-            pred = jnp.einsum("cik,ck->ci", win, w)
+            pred = jnp.einsum("cik,ck->ci", win, w,
+                              precision=jax.lax.Precision.HIGHEST)
             err = blk - pred
             # NLMS: normalise by ||u||^2 ~ taps * mean power (the largest
             # autocorrelation eigenvalue for tonal input), keeping the
             # effective step ~ mu regardless of level or tap count
             power = self.taps * jnp.mean(win ** 2, axis=(1, 2)) + 1e-8
-            grad = jnp.einsum("ci,cik->ck", err, win) / self.sub
+            grad = jnp.einsum("ci,cik->ck", err, win,
+                              precision=jax.lax.Precision.HIGHEST) / self.sub
             w = (1.0 - self.leak) * w + self.mu * grad / power[:, None]
             out = err if self.notch else pred
             return (w, ext[:, ext.shape[-1] - hist:]), out

@@ -93,12 +93,14 @@ class Interpolator:
             out = jax.lax.conv_general_dilated(
                 lhs, h, window_strides=(1,), padding=[(0, 0)],
                 lhs_dilation=(self.interp,),
-                dimension_numbers=("NCH", "OIH", "NCH"))[:, 0, :]
+                dimension_numbers=("NCH", "OIH", "NCH"),
+            precision=jax.lax.Precision.HIGHEST)[:, 0, :]
             return jax.lax.complex(out[:c], out[c:])
         out = jax.lax.conv_general_dilated(
             xe.astype(jnp.float32)[:, None, :], h, window_strides=(1,),
             padding=[(0, 0)], lhs_dilation=(self.interp,),
-            dimension_numbers=("NCH", "OIH", "NCH"))
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            precision=jax.lax.Precision.HIGHEST)
         return out[:, 0, :]
 
     def __call__(self, hist, x):
@@ -176,6 +178,7 @@ class FracDecim:
         xe = jnp.concatenate([hist, x.astype(jnp.complex64)], axis=-1)
         # windows [C, n_out, 4]
         win = xe[:, self.gather_idx[:, None] + jnp.arange(4)[None, :]]
-        y = jnp.einsum("cnk,nk->cn", win, self.weights.astype(jnp.complex64))
+        y = jnp.einsum("cnk,nk->cn", win, self.weights.astype(jnp.complex64),
+                       precision=jax.lax.Precision.HIGHEST)
         new_hist = xe[..., xe.shape[-1] - self.hist_len:]
         return new_hist, y

@@ -1,0 +1,167 @@
+"""Live ingest pipeline: UDP socket -> codec -> ring -> block assembler.
+
+Parity: the reference's sample plane is a running select/recv pump
+(quisk.c:3284 quisk_read_rx_udp, 3519 read_rx_udp10) with sequence-error
+counting and TX pacing via tx_records (quisk.c:3622).  These tests push
+real packet streams through localhost at >= real-time and assert zero
+sequence errors and sample-exact reassembly.
+"""
+
+import time
+
+import numpy as np
+
+from quisk_tpu.io.native import (HIQSDR_PAIRS, HiqsdrStream, MetisStream,
+                                 metis_samples_per_frame)
+from quisk_tpu.io.pump import PacketSender, TxPacer, UdpPump
+
+
+def _wait(cond, timeout=10.0):
+    t0 = time.time()
+    while not cond() and time.time() - t0 < timeout:
+        time.sleep(0.01)
+    assert cond(), "timed out waiting for pump"
+
+
+def test_hiqsdr_loopback_realtime():
+    """0.25 s of 960 kHz IQ at 2x real-time: zero seq errors, exact data."""
+    fs = 960000.0
+    n = int(0.25 * fs) // HIQSDR_PAIRS * HIQSDR_PAIRS
+    rng = np.random.default_rng(3)
+    iq = ((rng.integers(-(1 << 23), 1 << 23, n)
+           + 1j * rng.integers(-(1 << 23), 1 << 23, n))
+          / 8388608.0).astype(np.complex64)
+
+    pump = UdpPump(HiqsdrStream(), n_rx=1, ring_samples=1 << 20)
+    pump.start()
+    tx_codec = HiqsdrStream()
+    sender = PacketSender(lambda blk: tx_codec.build(blk),
+                          pump.local_addr, HIQSDR_PAIRS)
+    t0 = time.perf_counter()
+    npkt = sender.send_stream(iq, rate_hz=2 * fs)
+    send_dt = time.perf_counter() - t0
+    _wait(lambda: pump.stats()["samples"] >= n)
+    st = pump.stats()
+    sender.close()
+
+    assert st["seq_errors"] == 0, st
+    assert st["bad_packets"] == 0 and st["packets"] == npkt
+    assert st["ring_overruns"] == 0
+    # achieved ingest rate beat real-time
+    assert n / send_dt >= fs, (n / send_dt, fs)
+    # block assembly returns the exact stream (24-bit-exact roundtrip)
+    got = pump.read_samples(n)
+    pump.stop()
+    assert got is not None and got.shape == (1, n)
+    assert np.max(np.abs(got[0] - iq)) < 2.0 / 8388608.0
+
+
+def test_metis_loopback_multirx():
+    """Metis frames with 2 receivers + mic stream reassemble exactly."""
+    n_rx = 2
+    ns = metis_samples_per_frame(n_rx)
+    nframes = 200
+    n = ns * nframes
+    rng = np.random.default_rng(4)
+    iq = ((rng.integers(-(1 << 23), 1 << 23, (n_rx, n))
+           + 1j * rng.integers(-(1 << 23), 1 << 23, (n_rx, n)))
+          / 8388608.0).astype(np.complex64)
+
+    pump = UdpPump(MetisStream(n_rx=n_rx), n_rx=n_rx)
+    pump.start()
+    # hand-build frames: the TX builder only does the 1-rx TX layout, so
+    # synthesize RX frames with the numpy reference layout
+    import socket
+    sk = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    group = n_rx * 6 + 2
+    count = (512 - 8) // group
+    per_sub = count
+    for f in range(nframes):
+        out = bytearray(1032)
+        out[0:4] = b"\xef\xfe\x01\x06"
+        out[4:8] = int(f).to_bytes(4, "big")
+        for sub in range(2):
+            base = 8 + sub * 512
+            out[base:base + 3] = b"\x7f\x7f\x7f"
+            for g in range(per_sub):
+                k = f * ns + sub * per_sub + g
+                s = base + 8 + g * group
+                for r in range(n_rx):
+                    i = int(iq[r, k].real * 8388608.0) & 0xFFFFFF
+                    q = int(iq[r, k].imag * 8388608.0) & 0xFFFFFF
+                    o = s + r * 6
+                    out[o:o + 3] = i.to_bytes(3, "big")
+                    out[o + 3:o + 6] = q.to_bytes(3, "big")
+                out[s + n_rx * 6:s + group] = int(k & 0x7FFF).to_bytes(2, "big")
+        sk.sendto(bytes(out), pump.local_addr)
+        if f % 50 == 0:
+            time.sleep(0.005)
+    _wait(lambda: pump.stats()["samples"] >= n)
+    st = pump.stats()
+    assert st["seq_errors"] == 0 and st["bad_packets"] == 0, st
+    got = pump.read_samples(n)
+    assert got.shape == (n_rx, n)
+    assert np.max(np.abs(got - iq)) < 2.0 / 8388608.0
+    mic = pump.read_mic(n)
+    assert mic is not None and len(mic) == n
+    assert np.allclose(mic[:10] * 32768.0, np.arange(10), atol=0.5)
+    pump.stop()
+    sk.close()
+
+
+def test_pump_starvation_counter():
+    pump = UdpPump(HiqsdrStream(), n_rx=1)
+    pump.start()
+    assert pump.read_samples(1024) is None
+    assert pump.stats()["starved"] == 1
+    pump.stop()
+
+
+def test_tx_pacer_credit_flow():
+    # 48 k RX paces 192 k TX: each RX block earns exactly 4x TX credit
+    p = TxPacer(rx_rate=48000.0, tx_rate=192000.0, max_credit_samples=8192)
+    assert not p.try_send(1024)           # no credit yet
+    p.on_rx_samples(256)                  # earns 1024
+    assert p.try_send(1024)
+    assert not p.try_send(1)              # spent
+    # credit is capped: a long RX burst cannot flood the TX FIFO
+    p.on_rx_samples(10 ** 9)
+    assert p.credit == 8192.0
+    assert p.blocked == 2
+
+
+def test_radio_receives_from_live_socket():
+    """End-to-end VERDICT criterion: Radio + hiqsdr hardware receives a
+    real UDP stream at >= real-time with zero seq errors and demodulates
+    the station."""
+    from quisk_tpu.app.config import RadioConfig
+    from quisk_tpu.app.radio import Radio
+    from quisk_tpu.io import sources
+
+    fs = 48000.0
+    cfg = RadioConfig(sample_rate=fs, mode="USB", tune_hz=7000.0)
+    radio = Radio(cfg, hardware="hiqsdr")
+    addr = radio.hw.start_pump()
+    radio.open()
+
+    nblk = 8
+    n = nblk * radio.chain.block_in
+    n = (n // HIQSDR_PAIRS + 1) * HIQSDR_PAIRS
+    voice = sources.voice_like(fs, n, band=(300.0, 2400.0))
+    voice *= 0.3 / np.abs(voice).max()
+    iq = sources.ssb_signal(voice, fs, carrier_hz=7000.0).astype(np.complex64)
+
+    tx_codec = HiqsdrStream()
+    sender = PacketSender(lambda blk: tx_codec.build(blk), addr, HIQSDR_PAIRS)
+    sender.send_stream(iq, rate_hz=4 * fs)   # 4x real-time
+    _wait(lambda: radio.hw.pump.stats()["samples"] >= n)
+
+    audio = radio.run(blocks=nblk)
+    st = radio.hw.pump.stats()
+    radio.close()
+    sender.close()
+    assert st["seq_errors"] == 0 and st["ring_overruns"] == 0, st
+    assert audio.shape[0] == 1 and audio.shape[1] >= 6 * 2048
+    # demodulated audio actually carries the voice band
+    a = audio[0][2 * 2048:]
+    assert np.sqrt(np.mean(a ** 2)) > 0.01
