@@ -72,6 +72,9 @@ class RxChainConfig:
     audio_block: int = 2048              # requested; actual from planner
     filter_taps: int = 1025              # channel-filter length
     agc: bool = True
+    # "delay": the fast block-parallel lookahead AGC (quisk.c:2162 parity);
+    # "wcp": the conformance-exact WDSP 5-state AGC (wdsp/wcpAGC.c)
+    agc_profile: str = "delay"
     fm_deviation_hz: float = 5000.0
     cw_pitch: float = CW_PITCH
     decim_atten_db: float = 100.0
@@ -176,7 +179,13 @@ class RxChain:
         demod = MixedDemod.create(modes, plan.fs_out, C,
                                   config.fm_deviation_hz,
                                   ext_demod=config.ext_demod)
-        agc = AGC.create(plan.fs_out) if config.agc else None
+        if not config.agc:
+            agc = None
+        elif config.agc_profile == "wcp":
+            from quisk_tpu.ops.agc import WcpAGC
+            agc = WcpAGC.create(plan.fs_out)
+        else:
+            agc = AGC.create(plan.fs_out)
         nb = (NoiseBlanker.create(config.sample_rate, config.noise_blanker)
               if config.noise_blanker else None)
         notch = AutoNotch.create(B_audio) if config.auto_notch else None

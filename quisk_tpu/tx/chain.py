@@ -26,7 +26,7 @@ from flax import struct
 
 from quisk_tpu.modes import Mode
 from quisk_tpu.ops import design
-from quisk_tpu.ops.agc import AGC
+from quisk_tpu.ops.agc import TxALC
 from quisk_tpu.ops.compress import OvershootControl, SoftCompressor
 from quisk_tpu.ops.fir import OverlapSaveFIR
 from quisk_tpu.ops.iir import Preemphasis
@@ -58,7 +58,7 @@ class TxChain:
     analytic: OverlapSaveFIR            # 300-2700 analytic bandpass (USB)
     preemph: Preemphasis | None
     comp: SoftCompressor | None
-    alc: AGC | None
+    alc: TxALC | None
     cessb: OvershootControl | None
     predist: "object"                   # Predistorter | None
     interp: Interpolator | None
@@ -98,10 +98,10 @@ class TxChain:
                if config.preemphasis > 0 else None)
         comp = (SoftCompressor.create(config.compress_db)
                 if config.compress_db > 0 else None)
-        # ALC = AGC that only ever attenuates (max gain 0 dB), 20 ms
-        # lookahead (microphone.c:270 process_alc)
-        alc = (AGC.create(config.audio_rate, target=1.0, max_gain_db=0.0,
-                          release_db_per_s=12.0, lookahead_ms=20.0)
+        # conformance process_alc (microphone.c:270): 20 ms lookahead,
+        # clip-safe down-ramp, 5 s gain-doubling recovery, per-mode gain
+        # memory — applied to the MODULATED IQ like the reference
+        alc = (TxALC.create(config.audio_rate, mode=m_arr, channels=C)
                if config.alc else None)
         ratio = config.tx_rate / config.audio_rate
         L = int(round(ratio))
@@ -174,8 +174,6 @@ class TxChain:
             st["preemph"], a = self.preemph(st["preemph"], a)
         if self.comp is not None:
             _, a = self.comp((), a)
-        if self.alc is not None:
-            st["alc"], a = self.alc(st["alc"], a)
 
         # SSB/CW-style: analytic bandpass of the (real) audio -> one-sided IQ
         st["analytic"], z = self.analytic(
@@ -209,6 +207,10 @@ class TxChain:
         iq = jnp.where(is_am, iq_am, jnp.where(is_fm, iq_fm,
                                                jnp.where(is_cw, iq_cw,
                                                          iq_ssb)))
+        # ALC runs on the modulated samples (microphone.c:1233/1240/1261:
+        # process_alc(cSamples) after each modulator)
+        if self.alc is not None:
+            st["alc"], iq = self.alc(st["alc"], iq)
 
         if self.cessb is not None:
             # overshoot control applies to the SSB envelope path only
