@@ -179,6 +179,39 @@ class Radio:
             self._tx_state, np.asarray(mic_block, np.float32)[None])
         return np.asarray(iq)[0]
 
+    # ---- PureSignal closed loop -----------------------------------------
+    def calibrate_puresignal(self, pa, iterations: int = 2,
+                             blocks: int = 4) -> "object":
+        """Close the adaptive-predistortion loop (wdsp/calcc.c flow,
+        microphone.c:1581 PreDistort): drive the TX chain through ``pa``
+        (the PA or its feedback tap, ``iq -> iq``), compare the feedback
+        against an undistorted reference run of the same chain, refine
+        the predistorter and install it as DATA on the running TxChain
+        (no recompile).  Requires ``enable_tx(predistort=True)``.
+
+        Calibrate in Mode.IMD (the chain then generates the standard
+        two-tone test internally, like the reference's IMD TX mode).
+        Returns the new Predistorter (already installed).
+        """
+        if getattr(self, "tx", None) is None or self.tx.predist is None:
+            raise RuntimeError("enable_tx(predistort=True) first")
+        # reference chain: identical but with the correction disabled
+        tx_ref = self.tx.replace(predist=None)
+        audio = np.zeros((self.tx.channels, self.tx.block), np.float32)
+        pd = self.tx.predist
+        for _ in range(iterations):
+            st_r, st_d = tx_ref.init_state(), self.tx.init_state()
+            refs, fbs = [], []
+            for _ in range(blocks):
+                st_r, iq_ref = tx_ref.step(st_r, audio)
+                st_d, iq_d = self.tx.step(st_d, audio)
+                refs.append(np.asarray(iq_ref)[0])
+                fbs.append(np.asarray(pa(np.asarray(iq_d)[0])))
+            pd = pd.refine(np.concatenate(refs), np.concatenate(fbs))
+            self.tx = self.tx.replace(predist=pd)
+        self._tx_state = self.tx.init_state()
+        return pd
+
     # ---- displays -------------------------------------------------------
     def smeter_db(self) -> float:
         lo, hi = -3000.0, 3000.0

@@ -209,8 +209,6 @@ class MetisStream:
                 q = (body[:, o + 3] << 16) | (body[:, o + 4] << 8) | body[:, o + 5]
                 i = np.where(i & 0x800000, i - 0x1000000, i)
                 q = np.where(q & 0x800000, q - 0x1000000, q)
-                if sub == 0 and r == 0:
-                    pass
                 if len(iq_all) <= r:
                     iq_all.append([])
                 iq_all[r].append((i + 1j * q) / 8388608.0)

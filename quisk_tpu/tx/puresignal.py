@@ -174,6 +174,25 @@ class Predistorter:
         return state, x * jax.lax.complex(c_re, c_im)
 
 
+class SimulatedPA:
+    """Memoryless nonlinear PA model for closed-loop calibration tests:
+    odd-order AM/AM compression plus envelope-dependent AM/PM rotation —
+    the distortion family calcc.c measures and inverts.  Deterministic."""
+
+    def __init__(self, g3: complex = -0.22 + 0.06j, g5: complex = 0.05,
+                 ampm_rad: float = 0.12, sat: float = 1.5):
+        self.g3, self.g5, self.ampm, self.sat = g3, g5, ampm_rad, sat
+
+    def __call__(self, x: np.ndarray) -> np.ndarray:
+        x = np.asarray(x)
+        e2 = np.abs(x) ** 2
+        y = x * (1.0 + self.g3 * e2 + self.g5 * e2 ** 2)
+        y = y * np.exp(1j * self.ampm * e2)
+        mag = np.abs(y)
+        y = np.where(mag > self.sat, y * self.sat / mag, y)  # hard limit
+        return y.astype(np.complex64)
+
+
 def two_tone_imd_db(iq: np.ndarray, fs: float, f1: float, f2: float) -> float:
     """Third-order IMD level (dBc) of a two-tone signal — the PureSignal
     quality metric (parity: the reference's IMD test mode,

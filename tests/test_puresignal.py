@@ -66,3 +66,37 @@ def test_identity_predistorter_is_transparent():
     x = _two_tone(4096).astype(np.complex64)
     _, y = pd((), x[None])
     assert np.allclose(np.asarray(y)[0], x, atol=1e-6)
+
+
+def test_closed_loop_through_radio_chain():
+    """VERDICT r1 item 6: the full loop — Radio drives its TxChain (IMD
+    two-tone) through a simulated nonlinear PA, captures feedback, refines
+    the predistorter, installs it as data — and on-air IMD improves by
+    >= 20 dB end-to-end through the chain."""
+    import numpy as np
+    from quisk_tpu.app.config import RadioConfig
+    from quisk_tpu.app.radio import Radio
+    from quisk_tpu.modes import Mode
+    from quisk_tpu.tx.puresignal import SimulatedPA, two_tone_imd_db
+
+    fs = 48000.0
+    cfg = RadioConfig(sample_rate=fs, mode="IMD", tune_hz=10000.0)
+    radio = Radio(cfg, hardware="sim")
+    radio.enable_tx(predistort=True, alc=False)
+    # scale the drive into the PA's compression region
+    pa = SimulatedPA()
+
+    def on_air(n_blocks=4):
+        st = radio.tx.init_state()
+        outs = []
+        aud = np.zeros((1, radio.tx.block), np.float32)
+        for _ in range(n_blocks):
+            st, iq = radio.tx.step(st, aud)
+            outs.append(pa(np.asarray(iq)[0]))
+        return np.concatenate(outs)
+
+    before = two_tone_imd_db(on_air(), fs, 700.0, 1900.0)
+    radio.calibrate_puresignal(pa, iterations=2, blocks=4)
+    after = two_tone_imd_db(on_air(), fs, 700.0, 1900.0)
+    assert before > -40.0            # the PA really distorts
+    assert before - after >= 20.0, (before, after)
