@@ -25,7 +25,9 @@ class RadioConfig:
 
     name: str = "default"
     sample_rate: float = 48000.0      # input IQ rate (quisk_conf_defaults sample_rate)
-    audio_rate: float = 48000.0       # playback/audio rate
+    audio_rate: float = 48000.0       # internal audio rate (48 k, quisk.c:1730)
+    playback_rate: float = 48000.0    # device rate; x2/4/8 interp (quisk.c:2663)
+    latency_ms: float = 150.0         # play buffer depth (quisk_conf_defaults:1738)
     tx_rate: float = 48000.0
     channels: int = 1                 # concurrent receivers (ref caps at 3+9)
     audio_block: int = 2048

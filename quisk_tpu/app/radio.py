@@ -55,12 +55,22 @@ class Radio:
             self.vfo_hz = float(cfg.tune_hz)
         self.freq_hz = float(cfg.tune_hz)
         offset = self.freq_hz - self.vfo_hz
-        self.chain = RxChain.create(self.rx_cfg, tune_hz=offset,
-                                    mode=int(cfg.modes()))
+        # multi-RX surface (parity quisk.c:2590-2652 sub-receivers):
+        # channel 0 is the main receiver; channels 1..C-1 are sub-RX with
+        # independent offset/mode, an L/R/both play route, and (for
+        # DGT-IQ) a per-channel digital I/Q output
+        C = cfg.channels
+        self.offsets = np.full(C, offset, np.float64)
+        self.channel_modes = [cfg.mode] * C
+        self.routes = ["both"] + ["off"] * (C - 1)
+        self._digital_out: dict[int, np.ndarray] = {}
+        self.chain = RxChain.create(self.rx_cfg, tune_hz=self.offsets,
+                                    mode=[int(Mode[m])
+                                          for m in self.channel_modes])
         self.cfg.tune_hz = offset
         self.graph = GraphService(fft_size=cfg.fft_size,
                                   block=self.chain.block_in,
-                                  channels=1, sample_rate=cfg.sample_rate,
+                                  channels=C, sample_rate=cfg.sample_rate,
                                   refresh_hz=cfg.graph_refresh_hz)
         self.waterfall = WaterfallRenderer(pixels=1024)
         self._step = make_boundary_step(lambda ch, s, xx: ch.step(s, xx))
@@ -86,6 +96,9 @@ class Radio:
     def close(self) -> None:
         self.hw.StopSamples()
         self.hw.close()
+        if getattr(self, "player", None) is not None:
+            self.player.stop()
+            self.player = None
         if self.rigctl is not None:
             self.rigctl.stop()
         if self.settings is not None:
@@ -104,14 +117,50 @@ class Radio:
             self.vfo_hz = self.freq_hz
             offset = 0.0
         self.cfg.tune_hz = offset
+        self.offsets[0] = offset
         self.hw.ChangeFrequency(int(self.freq_hz), int(self.vfo_hz))
-        self.chain = self.chain.retune(self.rx_cfg, tune_hz=offset)
-        self._dirty = True
+        self._retune()
 
     def set_mode(self, mode: str) -> None:
         self.cfg.mode = mode
+        self.channel_modes[0] = mode
         self.hw.ChangeMode(mode)
-        self.chain = self.chain.retune(self.rx_cfg, mode=int(Mode[mode]))
+        self._retune()
+
+    def set_sub_rx(self, channel: int, freq_hz: float | None = None,
+                   mode: str | None = None, route: str | None = None) -> None:
+        """Configure sub-receiver ``channel`` (1..C-1): absolute frequency
+        (must fall in the current passband around the VFO), mode, and the
+        audio play route ('left'/'right'/'both'/'off' — parity
+        quisk.c:2601-2620 play methods; DGT-IQ channels instead publish
+        their I/Q to :meth:`digital_output`)."""
+        if not 0 < channel < self.cfg.channels:
+            raise ValueError(f"sub-rx channel must be 1..{self.cfg.channels - 1}")
+        if freq_hz is not None:
+            off = float(freq_hz) - self.vfo_hz
+            if abs(off) > 0.5 * self.cfg.sample_rate:
+                raise ValueError("sub-rx frequency outside the passband; "
+                                 "move the main VFO first")
+            self.offsets[channel] = off
+        if mode is not None:
+            self.channel_modes[channel] = mode
+        if route is not None:
+            self.routes[channel] = route
+        self._retune()
+
+    def _retune(self) -> None:
+        modes = [int(Mode[m]) for m in self.channel_modes]
+        want_iq = any(m == "DGT_IQ" for m in self.channel_modes)
+        if want_iq != self.chain.demod.iq_out:
+            # complex pass-through is a create-time static (it changes the
+            # chain's output dtype): rebuild + reset carried state — the
+            # one retune that does recompile
+            self.chain = RxChain.create(self.rx_cfg, tune_hz=self.offsets,
+                                        mode=modes)
+            self._pstate = pack_tree(self.chain.init_state())
+        else:
+            self.chain = self.chain.retune(self.rx_cfg, tune_hz=self.offsets,
+                                           mode=modes)
         self._dirty = True
 
     def _on_cat_change(self, field, value) -> None:
@@ -128,14 +177,32 @@ class Radio:
         if x is None:
             self.status.count("read_starved")
             return None
+        if x.shape[0] == 1 and self.chain.channels > 1:
+            # split model: all demod banks share one capture
+            # (quisk.c:2537-2652 split/multirx on the same samples)
+            x = np.broadcast_to(x, (self.chain.channels, x.shape[1]))
         if self._dirty:
             self._pchain = pack_tree(self.chain)
             self._dirty = False
         self._pstate, audio = self._step(self._pchain, self._pstate,
                                          pack_tree(x.astype(np.complex64)))
-        trace = self.graph.feed(x[:1])
+        from quisk_tpu.utils.boundary import CPair
+        if isinstance(audio, CPair):     # iq_out chain: complex audio
+            audio = np.asarray(audio.re) + 1j * np.asarray(audio.im)
+        else:
+            audio = np.asarray(audio)
+        if np.iscomplexobj(audio):
+            # DGT-IQ channels publish raw I/Q for digital programs
+            # (quisk.c:2630-2652 per-sub-RX digital output devices)
+            for c, m in enumerate(self.channel_modes):
+                if m == "DGT_IQ":
+                    self._digital_out[c] = audio[c]
+            audio = np.real(audio)
+        trace = self.graph.feed(x)
         if trace is not None:
             self.waterfall.add_row(trace[0])
+        if getattr(self, "player", None) is not None:
+            self.play(audio)
         if self.settings is not None:
             self.settings.update_state(tune_hz=self.cfg.tune_hz,
                                        mode=self.cfg.mode)
@@ -151,6 +218,70 @@ class Radio:
         if not outs:
             return np.zeros((self.chain.channels, 0), np.float32)
         return np.concatenate(outs, axis=-1)
+
+    # ---- audio playback (sound.c:504-618 + quisk.c:2663-2682) ------------
+    def enable_audio_out(self, sink="null", block: int = 1024):
+        """Attach a paced playback path: stereo-routed RX audio is
+        interpolated x2/4/8 to ``cfg.playback_rate`` (quisk.c:2663-2682)
+        and pushed through an :class:`~quisk_tpu.io.audio_out.AudioPlayer`
+        whose fill servo heals capture/playback clock skew.  ``sink`` is
+        'null' (clocked), 'wav:<path>', 'aplay', or a Sink object."""
+        from quisk_tpu.io.audio_out import AudioPlayer, make_sink
+        ratio = self.cfg.playback_rate / self.cfg.audio_rate
+        L = int(round(ratio))
+        if abs(ratio - L) > 1e-9 or L not in (1, 2, 4, 8):
+            raise ValueError("playback_rate must be audio_rate x 1/2/4/8")
+        self._play_interp = None
+        if L > 1:
+            from quisk_tpu.ops.resample import Interpolator
+            self._play_interp = Interpolator.create(
+                L, self.chain.block_audio, fs_out=self.cfg.playback_rate,
+                complex_state=False)
+            self._play_interp_state = self._play_interp.init_state(1)
+        if isinstance(sink, str):
+            sink = make_sink(sink, self.cfg.playback_rate)
+        self.player = AudioPlayer(sink, self.cfg.playback_rate,
+                                  latency_ms=self.cfg.latency_ms,
+                                  block=block)
+        self.player.start()
+
+    def play(self, audio: np.ndarray) -> None:
+        """Route one [C, B] audio block to the player (mono mix of the
+        stereo pair for now — sinks are 1-channel)."""
+        stereo = self.mix_stereo(audio)
+        mono = 0.5 * (stereo[0] + stereo[1])
+        if self._play_interp is not None:
+            self._play_interp_state, up = self._play_interp(
+                self._play_interp_state, mono[None].astype(np.float32))
+            mono = np.asarray(up)[0]
+        self.player.push(mono)
+
+    # ---- multi-RX audio routing / outputs --------------------------------
+    def mix_stereo(self, audio: np.ndarray) -> np.ndarray:
+        """Route per-channel audio [C, N] to a stereo pair [2, N] by each
+        channel's play method (parity quisk.c:2601-2620: sub-RX audio to
+        left, right, or both ears)."""
+        out = np.zeros((2, audio.shape[-1]), np.float32)
+        for c, route in enumerate(self.routes[: audio.shape[0]]):
+            if self.channel_modes[c] == "DGT_IQ" or route == "off":
+                continue
+            if route in ("left", "both"):
+                out[0] += audio[c]
+            if route in ("right", "both"):
+                out[1] += audio[c]
+        return out
+
+    def digital_output(self, channel: int) -> np.ndarray | None:
+        """Latest raw I/Q block of a DGT-IQ channel (the per-sub-RX
+        digital output device, quisk.c:2630-2652)."""
+        return self._digital_out.get(channel)
+
+    def multirx_graph(self) -> np.ndarray | None:
+        """Latest spectrum rows for channels 1.. (get_multirx_graph
+        parity, quisk.c:4868); None before the first refresh."""
+        if not self.graph.waterfall:
+            return None
+        return self.graph.waterfall[-1][1:]
 
     # ---- transmit -------------------------------------------------------
     def enable_tx(self, tx_rate: float | None = None, **tx_kwargs) -> None:

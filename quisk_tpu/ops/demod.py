@@ -205,16 +205,22 @@ class MixedDemod:
     fm: FMDemod
     ext: "object"              # custom demod op | None
     mode: jnp.ndarray          # [C] int32
+    # static: any channel created as DGT-IQ makes the CHAIN's audio output
+    # complex64 — DGT-IQ rows carry the raw filtered IQ (quisk.c:2141-2153
+    # pass-through for digital programs), other rows real audio + 0j
+    iq_out: bool = struct.field(pytree_node=False, default=False)
 
     @classmethod
     def create(cls, mode, sample_rate: float, channels: int,
                fm_deviation_hz: float = 5000.0, ext_demod: str | None = None):
-        m = jnp.broadcast_to(jnp.asarray(mode, jnp.int32), (channels,))
+        m_np = np.broadcast_to(np.asarray(mode, np.int32), (channels,))
+        m = jnp.asarray(m_np)
         ext = (get_ext_demod(ext_demod)(sample_rate, channels)
                if ext_demod else None)
         return cls(ssb=SSBDemod.create(), am=AMDemod.create(),
                    fm=FMDemod.create(sample_rate, fm_deviation_hz),
-                   ext=ext, mode=m)
+                   ext=ext, mode=m,
+                   iq_out=bool(np.any(m_np == int(Mode.DGT_IQ))))
 
     def init_state(self, channels: int):
         ext_st = self.ext.init_state(channels) if self.ext is not None else ()

@@ -308,6 +308,7 @@ class RxChain:
             st["frac"], y = self.frac(st["frac"], y)
         if self.fm_sq is not None:
             rf_db = self.fm_sq.measure(y)      # pre-demod carrier power
+        y_filtered = y                          # audio-rate filtered IQ
         st["demod"], audio = self.demod(st["demod"], y)
         if self.notch is not None:
             st["notch"], audio = self.notch(st["notch"], audio)
@@ -321,6 +322,13 @@ class RxChain:
             st["squelch"], audio = self.squelch(st["squelch"], audio)
         if self.fm_sq is not None:
             st["fm_sq"], audio = self.fm_sq(st["fm_sq"], audio, rf_db)
+        if self.demod.iq_out:
+            # DGT-IQ pass-through (quisk.c:2141-2153): those channels emit
+            # the raw channel-filtered IQ for external digital programs;
+            # the whole block becomes complex64 (real audio rides Re)
+            is_iq = (self.demod.mode == int(Mode.DGT_IQ))[:, None]
+            audio = jnp.where(is_iq, y_filtered,
+                              audio.astype(jnp.complex64))
         return st, audio
 
     def process(self, state, iq: jnp.ndarray):
