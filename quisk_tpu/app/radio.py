@@ -77,6 +77,7 @@ class Radio:
         self._pchain = pack_tree(self.chain)
         self._pstate = pack_tree(self.chain.init_state())
         self._dirty = False
+        self.tci = None
         self.rigctl = None
         if rigctl_port is not None:
             from quisk_tpu.app.rigctl import RadioState, RigctlServer
@@ -101,6 +102,9 @@ class Radio:
             self.player = None
         if self.rigctl is not None:
             self.rigctl.stop()
+        if self.tci is not None:
+            self.tci.stop()
+            self.tci = None
         if self.settings is not None:
             self.settings.save()
 
@@ -169,6 +173,49 @@ class Radio:
         elif field == "mode":
             self.set_mode(value)
 
+    # ---- TCI server (tci.c:608-676 quisk_tci_set_params glue) ------------
+    _TCI_MODES = {"usb": "USB", "lsb": "LSB", "cw": "CWU", "am": "AM",
+                  "fm": "FM", "digu": "DGT_U", "digl": "DGT_L"}
+
+    def enable_tci(self, port: int = 40001) -> int:
+        """Start a TCI 1.4 server bound to this radio: client vfo/
+        modulation/trx commands retune the running chain; RX audio is
+        streamed to listening clients each block; when a client claims
+        ``trx`` its TX_AUDIO_STREAM becomes the mic source for
+        :meth:`tci_transmit_once` (parity tci.c + sound.c:1024/1072)."""
+        from quisk_tpu.app.tci import TciServer, TciState
+
+        st = TciState(on_change=self._on_tci_change)
+        st.vfo[0] = [int(self.freq_hz), int(self.freq_hz)]
+        st.modulation[0] = {v: k for k, v in
+                            self._TCI_MODES.items()}.get(self.cfg.mode, "usb")
+        st.iq_rate = int(self.cfg.sample_rate)
+        st.audio_rate = int(self.cfg.audio_rate)
+        self.tci = TciServer(st, port=port)
+        return self.tci.start()
+
+    def _on_tci_change(self, field, value) -> None:
+        if field == "vfo":
+            r, v, freq = value
+            if r == 0 and v == 0:
+                self.set_frequency(freq)
+        elif field == "modulation":
+            r, m = value
+            if r == 0 and m in self._TCI_MODES:
+                self.set_mode(self._TCI_MODES[m])
+
+    def tci_transmit_once(self) -> np.ndarray | None:
+        """One TX block keyed by the TCI client: when a client holds
+        ``trx:0,true`` pull its buffered TX audio (mono mix of the stereo
+        stream) as the mic and transmit (tci.c:583 tci_get_mic feeding
+        microphone.c's sound loop)."""
+        if self.tci is None or getattr(self, "tx", None) is None:
+            return None
+        if not self.tci.state.trx[0]:
+            return None
+        mic = np.real(self.tci.get_mic(self.tx.block)).astype(np.float32)
+        return self.transmit(mic, ptt=True)
+
     # ---- the block loop (the reference's sound-thread iteration) ---------
     def run_once(self) -> np.ndarray | None:
         """Pull one block from hardware through the chain; feeds the
@@ -203,6 +250,8 @@ class Radio:
             self.waterfall.add_row(trace[0])
         if getattr(self, "player", None) is not None:
             self.play(audio)
+        if self.tci is not None:
+            self.tci.send_audio(self.mix_stereo(audio))
         if self.settings is not None:
             self.settings.update_state(tune_hz=self.cfg.tune_hz,
                                        mode=self.cfg.mode)
