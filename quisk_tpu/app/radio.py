@@ -105,6 +105,12 @@ class Radio:
         if self.tci is not None:
             self.tci.stop()
             self.tci = None
+        if getattr(self, "cat_serial", None) is not None:
+            self.cat_serial.close()
+            self.cat_serial = None
+        if getattr(self, "k4", None) is not None:
+            self.k4.stop()
+            self.k4 = None
         if self.settings is not None:
             self.settings.save()
 
@@ -172,6 +178,39 @@ class Radio:
             self.set_frequency(value)
         elif field == "mode":
             self.set_mode(value)
+
+    def _cat_state(self):
+        """One RadioState shared by every CAT surface (rigctld, serial
+        Flex-ZZ, K4 TCP) so clients see a consistent radio."""
+        if self.rigctl is not None:
+            return self.rigctl.state
+        if getattr(self, "_catstate", None) is None:
+            from quisk_tpu.app.rigctl import RadioState
+
+            st = RadioState()
+            st.freq = int(self.freq_hz)
+            st.mode = self.cfg.mode
+            st.on_change = self._on_cat_change
+            self._catstate = st
+        return self._catstate
+
+    def enable_cat_serial(self, public_name: str):
+        """Serial Flex/Kenwood 'ZZ' CAT port (quisk.py:286): creates a
+        pty symlinked at ``public_name``; pumped each run_once."""
+        from quisk_tpu.app.cat import SerialCat
+
+        self.cat_serial = SerialCat(public_name, self._cat_state(),
+                                    smeter=self.smeter_db)
+        return self.cat_serial
+
+    def enable_k4(self, port: int = 9200) -> int:
+        """Elecraft K4 CAT server over TCP (quisk.py:1256, port 9200)."""
+        from quisk_tpu.app.cat import K4Server
+
+        self.k4 = K4Server(self._cat_state(), port=port,
+                           smeter=self.smeter_db,
+                           cw_pitch=getattr(self.cfg, "cw_pitch", 600.0))
+        return self.k4.start()
 
     # ---- TCI server (tci.c:608-676 quisk_tci_set_params glue) ------------
     _TCI_MODES = {"usb": "USB", "lsb": "LSB", "cw": "CWU", "am": "AM",
@@ -252,6 +291,8 @@ class Radio:
             self.play(audio)
         if self.tci is not None:
             self.tci.send_audio(self.mix_stereo(audio))
+        if getattr(self, "cat_serial", None) is not None:
+            self.cat_serial.process()    # poll the ZZ pty (quisk.py:6593)
         if self.settings is not None:
             self.settings.update_state(tune_hz=self.cfg.tune_hz,
                                        mode=self.cfg.mode)

@@ -1,0 +1,213 @@
+"""CAT breadth beyond rigctld: Flex/Kenwood 'ZZ' serial set, Elecraft K4
+TCP set, WSJT-X launcher glue, and the shared-state Radio integration
+(parity quisk.py:286 HamlibHandlerSerial, quisk.py:1256 ElecraftK4Handler,
+quisk.py:4380 StartWsjtx)."""
+
+import os
+import socket
+import time
+
+import numpy as np
+
+from quisk_tpu.app.cat import (FlexZZProtocol, K4Protocol, K4Server,
+                               SerialCat, wsjtx_command)
+from quisk_tpu.app.config import RadioConfig
+from quisk_tpu.app.radio import Radio
+from quisk_tpu.app.rigctl import RadioState
+
+
+def test_flexzz_frequency_mode_and_step():
+    p = FlexZZProtocol()
+    p.state.freq = 7_074_000
+    # get/set VFO A with the 11-digit Flex form; FA aliases ZZFA
+    assert p.handle("ZZFA") == "ZZFA00007074000;"
+    assert p.handle("FA") == "FA00007074000;"
+    assert p.handle("ZZFA00014074000") == ""
+    assert p.state.freq == 14_074_000
+    # tune step: set 1 kHz (code 06), step down then up
+    assert p.handle("ZZAC06") == ""
+    p.handle("ZZAD")
+    assert p.state.freq == 14_073_000
+    p.handle("ZZAU")
+    assert p.state.freq == 14_074_000
+    assert p.handle("ZZAC") == "ZZAC06;"
+    # Kenwood vs Flex mode codes for the same radio state
+    p.state.mode = "CWU"
+    assert p.handle("MD") == "MD3;"          # Kenwood CWU=3
+    assert p.handle("ZZMD") == "ZZMD04;"     # Flex CWU=4
+    assert p.handle("MD1") == ""
+    assert p.state.mode == "LSB"
+    assert p.handle("ZZMD07") == ""
+    assert p.state.mode == "DGT_U"
+
+
+def test_flexzz_info_ptt_meter_and_identity():
+    p = FlexZZProtocol(smeter=lambda: -73.0)   # S9
+    p.state.freq = 7_000_000
+    p.state.mode = "USB"
+    # ZZIF layout: 4-letter = Flex form with 2-digit mode
+    info = p.handle("ZZIF")
+    assert info.startswith("ZZIF00007000000")
+    assert info.endswith(";") and "01" in info   # Flex USB=01
+    # IF aliases the Kenwood layout (1-digit mode code)
+    info = p.handle("IF")
+    assert info.startswith("IF00007000000")
+    # PTT via TX/RX/ZZTX
+    assert p.handle("ZZTX") == "ZZTX0;"
+    p.handle("TX")
+    assert p.state.ptt is True
+    assert p.handle("ZZTX") == "ZZTX1;"
+    p.handle("RX")
+    assert p.state.ptt is False
+    # S9 = -73 dB -> (i+140)*2 = 134
+    assert p.handle("ZZSM") == "ZZSM134;"
+    # identity flips Flex after ZZID
+    assert p.handle("ID") == "ID019;"
+    p.handle("ZZID")
+    assert p.handle("ID") == "ID900;"
+    # audio gain and AGC level round-trip through the state
+    assert p.handle("ZZAG042") == ""
+    assert abs(p.state.volume - 0.42) < 1e-9
+    assert p.handle("ZZAG") == "ZZAG042;"
+    assert p.handle("ZZAR+030") == ""
+    assert p.handle("ZZAR")[:5] == "ZZAR+"
+    # unknown command answers '?;'
+    assert p.handle("ZZQQ") == "?;"
+    # buffered feed splits commands across reads
+    out = p.feed("ZZP")
+    out += p.feed("S;ZZMU;")
+    assert out == "ZZPS1;ZZMU0;"
+
+
+def test_serialcat_pty_roundtrip():
+    cat = SerialCat(public_name="", state=None)
+    try:
+        fd = os.open(cat.slave_name, os.O_RDWR | os.O_NOCTTY)
+        os.write(fd, b"ZZFA00010136000;ZZFA;")
+        cat.process()
+        deadline = time.monotonic() + 2
+        got = b""
+        while b";" not in got and time.monotonic() < deadline:
+            try:
+                got += os.read(fd, 64)
+            except BlockingIOError:
+                time.sleep(0.01)
+        assert got == b"ZZFA00010136000;"
+        assert cat.state.freq == 10_136_000
+        os.close(fd)
+    finally:
+        cat.close()
+
+
+def test_k4_protocol_commands():
+    p = K4Protocol(cw_pitch=600.0, smeter=lambda: -73.0)
+    p.state.freq = 14_074_000
+    assert p.handle("FA") == "FA00014074000;"
+    # short set forms scale: 2 digits = MHz, 5 digits = kHz (quisk.py:1409)
+    assert p.handle("FA07") == ""
+    assert p.state.freq == 7_000_000
+    assert p.handle("FA07074") == ""
+    assert p.state.freq == 7_074_000
+    assert p.handle("FA00007074500") == ""
+    assert p.state.freq == 7_074_500
+    # mode codes
+    p.state.mode = "CWU"
+    assert p.handle("MD") == "MD3;"
+    assert p.handle("MD1") == ""
+    assert p.state.mode == "LSB"
+    # filter bandwidth in tens of Hz
+    p.state.passband = 2800
+    assert p.handle("FW") == "FW0280;"
+    assert p.handle("FW0050") == ""
+    assert p.state.passband == 500
+    # identity / firmware / misc fixed responses
+    assert p.handle("ID") == "ID017;"
+    assert p.handle("RV") == "RV99.99;"
+    assert p.handle("OM") == "OM ------------;"
+    assert p.handle("CW") == "CW60;"        # 600 Hz pitch / 10
+    assert p.handle("AI") == "AI0;"
+    assert p.handle("SB") == "SB0;"
+    # K31 mode switches the S-meter format
+    assert p.handle("SM") == "SM00;"
+    p.handle("K31")
+    assert p.handle("SM") == "SM0000;"
+    # PTT + split + info
+    p.handle("TX")
+    assert p.state.ptt is True
+    info = p.handle("IF")
+    assert info.startswith("%011d" % 7_074_500) and info.endswith("001 ;")
+    p.handle("RX")
+    assert p.state.ptt is False
+    p.handle("FT1")
+    assert p.state.split is True
+    # unknown command echoes 'XX?;'
+    assert p.handle("QQ12") == "QQ?;"
+
+
+def test_k4_server_over_tcp_shares_state():
+    st = RadioState()
+    st.freq = 7_000_000
+    srv = K4Server(st, port=0)
+    port = srv.start()
+    try:
+        s = socket.create_connection(("127.0.0.1", port), timeout=5)
+        s.sendall(b"ID;FA00014074000;FA;MD2;MD;")
+        got = b""
+        while b"MD" not in got or not got.endswith(b";"):
+            got += s.recv(256)
+        assert got == b"ID017;FA00014074000;MD2;"
+        assert st.freq == 14_074_000
+        assert st.mode == "USB"
+        s.close()
+    finally:
+        srv.stop()
+
+
+def test_wsjtx_command_builder(tmp_path):
+    fake = tmp_path / "wsjtx"
+    fake.write_text("#!/bin/sh\n")
+    cmd = wsjtx_command({"path_to_wsjtx": str(fake),
+                         "rig_name_wsjtx": "quisk_tpu",
+                         "config_wsjtx": "ft8"})
+    assert cmd == [str(fake), "--rig-name", "quisk_tpu", "--config", "ft8"]
+    assert wsjtx_command({"path_to_wsjtx": str(tmp_path / "nope")}) is None
+
+
+def test_radio_cat_surfaces_share_one_state():
+    cfg = RadioConfig(sample_rate=48000.0, audio_block=2048, mode="USB",
+                      tune_hz=10000.0, agc=True)
+    radio = Radio(cfg, hardware="sim")
+    radio.hw.tone_hz = 13000.0
+    radio.open()
+    try:
+        cat = radio.enable_cat_serial(public_name="")
+        port = radio.enable_k4(port=0)
+        # K4 client retunes; the serial ZZ client then reads the same state
+        s = socket.create_connection(("127.0.0.1", port), timeout=5)
+        s.sendall(b"FA00000012000;MD1;")
+        deadline = time.monotonic() + 5
+        while radio.freq_hz != 12000.0 and time.monotonic() < deadline:
+            time.sleep(0.01)
+        assert radio.freq_hz == 12000.0
+        assert radio.cfg.mode == "LSB"
+        fd = os.open(cat.slave_name, os.O_RDWR | os.O_NOCTTY)
+        os.write(fd, b"ZZFA;MD;")
+        radio.run_once()                     # pumps the serial port
+        got = b""
+        deadline = time.monotonic() + 2
+        while got.count(b";") < 2 and time.monotonic() < deadline:
+            try:
+                got += os.read(fd, 128)
+            except BlockingIOError:
+                time.sleep(0.01)
+        assert got == b"ZZFA00000012000;MD1;"
+        # serial sets the mode back; the chain follows
+        os.write(fd, b"MD2;")
+        radio.run_once()
+        assert radio.cfg.mode == "USB"
+        audio = radio.run(blocks=6)
+        assert np.all(np.isfinite(audio))
+        os.close(fd)
+        s.close()
+    finally:
+        radio.close()
