@@ -79,6 +79,21 @@ class RadioConfig:
         known = {f.name for f in dataclasses.fields(cls)}
         return cls(**{k: v for k, v in d.items() if k in known})
 
+    @classmethod
+    def from_flags(cls, flags, name: str = "default") -> "RadioConfig":
+        """Build chain config from the full flag surface
+        (quisk_tpu.app.flags — the quisk_conf_defaults.py tunables)."""
+        return cls(
+            name=name,
+            sample_rate=float(flags.sample_rate),
+            playback_rate=float(flags.playback_rate or 48000),
+            latency_ms=float(flags.lin_latency_millisecs),
+            tx_rate=float(flags.mic_playback_rate),
+            agc_release_db_per_s=60.0 / max(flags.agc_release_time, 1e-3),
+            cw_pitch=float(flags.cwTone),
+            graph_refresh_hz=float(flags.graph_refresh),
+        )
+
 
 class Settings:
     """Named-radio JSON database + periodic app-state persistence
@@ -105,6 +120,14 @@ class Settings:
 
     def get_radio(self, name: str) -> RadioConfig:
         return RadioConfig.from_json(self.data["radios"][name])
+
+    # -- per-radio flag overrides (configure.py settings[4] equivalent) ----
+    def set_flags(self, radio: str, flags) -> None:
+        self.data.setdefault("flags", {})[radio] = flags.to_json()
+
+    def get_flags(self, radio: str):
+        from quisk_tpu.app.flags import Flags
+        return Flags.from_json(self.data.get("flags", {}).get(radio, {}))
 
     def radio_names(self) -> list[str]:
         return sorted(self.data["radios"])
