@@ -192,10 +192,10 @@ def test_radio_cat_surfaces_share_one_state():
         assert radio.cfg.mode == "LSB"
         fd = os.open(cat.slave_name, os.O_RDWR | os.O_NOCTTY)
         os.write(fd, b"ZZFA;MD;")
-        radio.run_once()                     # pumps the serial port
         got = b""
-        deadline = time.monotonic() + 2
+        deadline = time.monotonic() + 10
         while got.count(b";") < 2 and time.monotonic() < deadline:
+            radio.run_once()                 # pumps the serial port
             try:
                 got += os.read(fd, 128)
             except BlockingIOError:
@@ -203,7 +203,9 @@ def test_radio_cat_surfaces_share_one_state():
         assert got == b"ZZFA00000012000;MD1;"
         # serial sets the mode back; the chain follows
         os.write(fd, b"MD2;")
-        radio.run_once()
+        deadline = time.monotonic() + 10
+        while radio.cfg.mode != "USB" and time.monotonic() < deadline:
+            radio.run_once()
         assert radio.cfg.mode == "USB"
         audio = radio.run(blocks=6)
         assert np.all(np.isfinite(audio))
