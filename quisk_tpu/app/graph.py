@@ -40,6 +40,7 @@ class GraphService:
             return None
         trace = np.asarray(rebin_pixels(self.sa.graph_db(self.state),
                                         self.pixels))
+        self._last_full = self.state       # S-meter reads stay valid
         self.state = self.sa.reset(self.state)
         self._since_refresh = 0
         self.waterfall.append(trace)
@@ -48,8 +49,13 @@ class GraphService:
         return trace
 
     def smeter_dbfs(self, f_lo, f_hi) -> np.ndarray:
-        """Current S-meter power (dBFS) per channel for [f_lo, f_hi]."""
-        p = self.sa.smeter_power(self.state, self.sample_rate, f_lo, f_hi)
+        """Current S-meter power (dBFS) per channel for [f_lo, f_hi].
+        Right after a refresh the live accumulator is empty; fall back to
+        the last full interval so meters never read the reset state."""
+        state = self.state
+        if float(state[1]) < 1.0 and getattr(self, "_last_full", None) is not None:
+            state = self._last_full
+        p = self.sa.smeter_power(state, self.sample_rate, f_lo, f_hi)
         return np.asarray(10.0 * jnp.log10(p + 1e-20))
 
     def freqs(self) -> np.ndarray:

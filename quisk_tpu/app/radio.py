@@ -111,6 +111,9 @@ class Radio:
         if getattr(self, "k4", None) is not None:
             self.k4.stop()
             self.k4 = None
+        if getattr(self, "webui", None) is not None:
+            self.webui.stop()
+            self.webui = None
         if self.settings is not None:
             self.settings.save()
 
@@ -243,6 +246,17 @@ class Radio:
             if r == 0 and m in self._TCI_MODES:
                 self.set_mode(self._TCI_MODES[m])
 
+    # ---- web UI (SURVEY §7 M5 streaming frontend; quisk.py GraphScreen
+    # 2094 / WaterfallScreen 2889 / mode row 5061 without wx) -------------
+    def enable_webui(self, port: int = 0, host: str = "127.0.0.1") -> int:
+        """Serve the canvas spectrum/waterfall page + control WebSocket;
+        each graph refresh streams the channel-0 dB row to every open
+        page.  Returns the bound port."""
+        from quisk_tpu.app.webui import WebUIServer
+
+        self.webui = WebUIServer(self, host=host, port=port)
+        return self.webui.start()
+
     def tci_transmit_once(self) -> np.ndarray | None:
         """One TX block keyed by the TCI client: when a client holds
         ``trx:0,true`` pull its buffered TX audio (mono mix of the stereo
@@ -287,6 +301,12 @@ class Radio:
         trace = self.graph.feed(x)
         if trace is not None:
             self.waterfall.add_row(trace[0])
+            if getattr(self, "webui", None) is not None:
+                # trace rows are rebinned to graph.pixels display bins
+                df = self.cfg.sample_rate / self.graph.pixels
+                self.webui.send_spectrum(
+                    self.vfo_hz - 0.5 * self.cfg.sample_rate, df,
+                    trace[0], self.smeter_db())
         if getattr(self, "player", None) is not None:
             self.play(audio)
         if self.tci is not None:

@@ -1,0 +1,282 @@
+"""Streaming web frontend — the GUI surface without wx.
+
+The reference's user surface is a wxPython app: GraphScreen
+(quisk.py:2094) draws the averaged spectrum, WaterfallScreen
+(quisk.py:2889) the scrolling palette rows, mode buttons
+(quisk.py:5061-5088) and the frequency display drive retunes.  The plan
+(SURVEY §7 M5) replaces that with "an optional streaming server in lieu
+of the wx GUI": this module serves a single-page canvas UI over HTTP and
+streams spectrum rows + radio state over a WebSocket (the same
+from-scratch RFC 6455 layer as the TCI server, quisk_tpu/app/tci.py),
+accepting tune/mode/sub-RX commands back.
+
+Protocol (one WebSocket, path ``/ws``):
+
+- server -> client, binary: ``b'S'`` + f64 start_hz + f64 bin_hz +
+  f32 smeter_db + float32[n] spectrum dB row (channel 0).
+- server -> client, text: JSON state ``{"freq": .., "vfo": .., "mode":
+  .., "modes": [..], "channels": N}`` on connect and after any change.
+- client -> server, text: JSON ``{"cmd": "freq", "value": hz}``,
+  ``{"cmd": "mode", "value": "USB"}``, ``{"cmd": "subrx", "channel": c,
+  "freq": hz, "mode": m, "route": r}``.
+
+The page renders the spectrum as a polyline and feeds the same rows into
+a client-side waterfall using the identical palette breakpoints as
+app/graph.py:waterfall_palette (quisk.c:5334's C renderer).
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import socketserver
+import struct
+import threading
+
+import numpy as np
+
+from quisk_tpu.app.tci import WsDecoder, _ws_accept_key, ws_encode
+
+MODES = ["CWL", "CWU", "LSB", "USB", "AM", "FM",
+         "DGT_U", "DGT_L", "DGT_FM", "DGT_IQ", "FDV_U", "FDV_L", "IMD"]
+
+_PAGE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>quisk_tpu</title><style>
+ body{background:#111;color:#ddd;font:14px sans-serif;margin:12px}
+ canvas{display:block;background:#000;margin-bottom:4px}
+ button{margin:2px;background:#333;color:#ddd;border:1px solid #555}
+ button.on{background:#2a6}
+ input{background:#222;color:#ddd;border:1px solid #555;width:9em}
+ #smeter{color:#6f6;margin-left:1em}
+</style></head><body>
+<div>
+ <input id="freq" type="number" step="100"> Hz
+ <button onclick="setFreq()">Tune</button>
+ <span id="modes"></span>
+ <span id="smeter"></span>
+</div>
+<canvas id="spec" width="1024" height="220"></canvas>
+<canvas id="wf" width="1024" height="260"></canvas>
+<script>
+const spec=document.getElementById('spec'),wf=document.getElementById('wf');
+const sctx=spec.getContext('2d'),wctx=wf.getContext('2d');
+let state={},f0=0,df=1;
+const MODES=%MODES%;
+const mdiv=document.getElementById('modes');
+for(const m of MODES){const b=document.createElement('button');
+ b.textContent=m;b.id='m_'+m;b.onclick=()=>send({cmd:'mode',value:m});
+ mdiv.appendChild(b);}
+const ws=new WebSocket('ws://'+location.host+'/ws');
+ws.binaryType='arraybuffer';
+function send(o){ws.send(JSON.stringify(o));}
+function setFreq(){send({cmd:'freq',value:+document.getElementById('freq').value});}
+// palette breakpoints match quisk_tpu/app/graph.py waterfall_palette
+const BP=[[0,0,0,0],[1/6,0,0,160],[2/6,0,160,160],[3/6,0,200,0],
+          [4/6,230,230,0],[5/6,240,0,0],[1,255,255,255]];
+function pal(t){t=Math.min(1,Math.max(0,t));
+ for(let i=1;i<BP.length;i++){if(t<=BP[i][0]){const a=BP[i-1],b=BP[i];
+  const u=(t-a[0])/(b[0]-a[0]);
+  return [a[1]+u*(b[1]-a[1]),a[2]+u*(b[2]-a[2]),a[3]+u*(b[3]-a[3])];}}
+ return [255,0,0];}
+ws.onmessage=(ev)=>{
+ if(typeof ev.data==='string'){state=JSON.parse(ev.data);
+  document.getElementById('freq').value=state.freq;
+  for(const m of MODES)document.getElementById('m_'+m)
+    .className=(m===state.mode)?'on':'';
+  return;}
+ const dv=new DataView(ev.data);
+ if(dv.getUint8(0)!==83)return;                       // 'S'
+ f0=dv.getFloat64(1,true);df=dv.getFloat64(9,true);
+ const sm=dv.getFloat32(17,true);
+ document.getElementById('smeter').textContent='S-meter '+sm.toFixed(1)+' dB';
+ const n=(ev.data.byteLength-21)/4;
+ const row=new Float32Array(ev.data,21,n);
+ // spectrum polyline, -140..0 dB
+ sctx.fillStyle='#000';sctx.fillRect(0,0,spec.width,spec.height);
+ sctx.strokeStyle='#4c4';sctx.beginPath();
+ for(let i=0;i<n;i++){const x=i*spec.width/n;
+  const y=spec.height*(1-(row[i]+140)/140);
+  i?sctx.lineTo(x,y):sctx.moveTo(x,y);}
+ sctx.stroke();
+ // waterfall scroll
+ wctx.drawImage(wf,0,0,wf.width,wf.height-1,0,1,wf.width,wf.height-1);
+ const img=wctx.createImageData(wf.width,1);
+ for(let x=0;x<wf.width;x++){const v=row[Math.floor(x*n/wf.width)];
+  const c=pal((v+140)/110);
+  img.data[4*x]=c[0];img.data[4*x+1]=c[1];img.data[4*x+2]=c[2];
+  img.data[4*x+3]=255;}
+ wctx.putImageData(img,0,0);
+};
+</script></body></html>
+""".replace("%MODES%", json.dumps(MODES))
+
+
+class _Handler(socketserver.StreamRequestHandler):
+    """One HTTP connection: serves the page, or upgrades to WebSocket."""
+
+    def handle(self):
+        srv: WebUIServer = self.server.ui          # type: ignore[attr-defined]
+        try:
+            head = b""
+            while b"\r\n\r\n" not in head:
+                chunk = self.request.recv(4096)
+                if not chunk:
+                    return
+                head += chunk
+            req, _, rest = head.partition(b"\r\n\r\n")
+            lines = req.decode("latin1").split("\r\n")
+            path = lines[0].split()[1] if len(lines[0].split()) > 1 else "/"
+            hdrs = {}
+            for ln in lines[1:]:
+                if ":" in ln:
+                    k, v = ln.split(":", 1)
+                    hdrs[k.strip().lower()] = v.strip()
+            if path == "/ws" and "websocket" in hdrs.get("upgrade", "").lower():
+                accept = _ws_accept_key(hdrs.get("sec-websocket-key", ""))
+                self.request.sendall(
+                    b"HTTP/1.1 101 Switching Protocols\r\n"
+                    b"Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                    b"Sec-WebSocket-Accept: " + accept.encode() + b"\r\n\r\n")
+                self._ws_loop(srv, rest)
+                return
+            body = _PAGE.encode()
+            self.request.sendall(
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                b"Content-Length: " + str(len(body)).encode()
+                + b"\r\nConnection: close\r\n\r\n" + body)
+        except (ConnectionError, OSError, ValueError):
+            pass
+
+    def _ws_loop(self, srv: "WebUIServer", rest: bytes) -> None:
+        dec = WsDecoder()
+        srv.register(self)
+        try:
+            self.request.sendall(ws_encode(json.dumps(srv.state_dict())))
+            frames = dec.feed(rest) if rest else []
+            while not srv._stop.is_set():
+                for op, payload in frames:
+                    if op == 0x8:                   # close
+                        return
+                    if op == 0x9:                   # ping -> pong
+                        self.request.sendall(ws_encode(payload, opcode=0xA))
+                    elif op == 0x1:
+                        srv.on_command(payload.decode("utf-8", "replace"))
+                try:
+                    data = self.request.recv(4096)
+                except socket.timeout:
+                    frames = []
+                    continue
+                if not data:
+                    return
+                frames = dec.feed(data)
+        except (ConnectionError, OSError):
+            pass
+        finally:
+            srv.unregister(self)
+
+    def setup(self):
+        super().setup()
+        self.request.settimeout(0.2)
+
+
+class WebUIServer:
+    """HTTP + WebSocket GUI server around a control interface.
+
+    ``control`` needs ``set_frequency(hz)``, ``set_mode(str)``, optionally
+    ``set_sub_rx(...)``, and attributes ``freq_hz``/``vfo_hz``/``cfg.mode``
+    — i.e. a :class:`quisk_tpu.app.radio.Radio` (or a test double).
+    """
+
+    def __init__(self, control, host: str = "127.0.0.1", port: int = 0):
+        self.control = control
+        self._clients: list[_Handler] = []
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+
+        class _Srv(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._srv = _Srv((host, port), _Handler)
+        self._srv.ui = self                        # type: ignore[attr-defined]
+        self.port = self._srv.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    # ---- lifecycle ----
+    def start(self) -> int:
+        self._thread = threading.Thread(target=self._srv.serve_forever,
+                                        kwargs={"poll_interval": 0.1},
+                                        daemon=True)
+        self._thread.start()
+        return self.port
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._srv.shutdown()
+        self._srv.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=2)
+
+    # ---- client registry ----
+    def register(self, h: _Handler) -> None:
+        with self._lock:
+            self._clients.append(h)
+
+    def unregister(self, h: _Handler) -> None:
+        with self._lock:
+            if h in self._clients:
+                self._clients.remove(h)
+
+    @property
+    def n_clients(self) -> int:
+        with self._lock:
+            return len(self._clients)
+
+    def _broadcast(self, frame: bytes) -> None:
+        with self._lock:
+            clients = list(self._clients)
+        for h in clients:
+            try:
+                h.request.sendall(frame)
+            except (ConnectionError, OSError):
+                self.unregister(h)
+
+    # ---- app-facing API ----
+    def state_dict(self) -> dict:
+        c = self.control
+        return {"freq": getattr(c, "freq_hz", 0.0),
+                "vfo": getattr(c, "vfo_hz", 0.0),
+                "mode": getattr(getattr(c, "cfg", c), "mode", "USB"),
+                "modes": MODES,
+                "channels": getattr(getattr(c, "cfg", c), "channels", 1)}
+
+    def send_state(self) -> None:
+        self._broadcast(ws_encode(json.dumps(self.state_dict())))
+
+    def send_spectrum(self, start_hz: float, bin_hz: float,
+                      db_row: np.ndarray, smeter_db: float = -140.0) -> None:
+        """Stream one channel-0 spectrum row (get_graph's dB pixels,
+        quisk.c:5271-5326) to every connected page."""
+        row = np.asarray(db_row, np.float32)
+        payload = (b"S" + struct.pack("<ddf", float(start_hz), float(bin_hz),
+                                      float(smeter_db)) + row.tobytes())
+        self._broadcast(ws_encode(payload))
+
+    def on_command(self, text: str) -> None:
+        try:
+            msg = json.loads(text)
+        except ValueError:
+            return
+        cmd = msg.get("cmd")
+        if cmd == "freq":
+            self.control.set_frequency(float(msg["value"]))
+        elif cmd == "mode" and msg.get("value") in MODES:
+            self.control.set_mode(msg["value"])
+        elif cmd == "subrx" and hasattr(self.control, "set_sub_rx"):
+            self.control.set_sub_rx(int(msg["channel"]),
+                                    freq_hz=msg.get("freq"),
+                                    mode=msg.get("mode"),
+                                    route=msg.get("route"))
+        else:
+            return
+        self.send_state()

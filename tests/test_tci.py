@@ -22,10 +22,10 @@ from quisk_tpu.app.tci import (RX_AUDIO_STREAM, TCI_STREAM_DATA_BYTES,
 class WsClient:
     """Minimal masked websocket client for the tests."""
 
-    def __init__(self, port):
+    def __init__(self, port, path="/"):
         self.s = socket.create_connection(("127.0.0.1", port), timeout=5)
         key = base64.b64encode(os.urandom(16)).decode()
-        self.s.sendall((f"GET / HTTP/1.1\r\nHost: x\r\nUpgrade: websocket\r\n"
+        self.s.sendall((f"GET {path} HTTP/1.1\r\nHost: x\r\nUpgrade: websocket\r\n"
                         f"Connection: Upgrade\r\nSec-WebSocket-Key: {key}\r\n"
                         f"Sec-WebSocket-Version: 13\r\n\r\n").encode())
         resp = b""

@@ -1,0 +1,164 @@
+"""Streaming web frontend: page serving, WebSocket state/control round
+trip, spectrum frames, and Radio integration (the SURVEY §7 M5 streaming
+server replacing quisk.py's GraphScreen/WaterfallScreen wx surfaces)."""
+
+import json
+import socket
+import struct
+import time
+
+import numpy as np
+
+from quisk_tpu.app.config import RadioConfig
+from quisk_tpu.app.radio import Radio
+from quisk_tpu.app.webui import MODES, WebUIServer
+
+from test_tci import WsClient
+
+
+class FakeRadio:
+    def __init__(self):
+        self.freq_hz = 7_050_000.0
+        self.vfo_hz = 7_050_000.0
+        self.calls = []
+
+        class Cfg:
+            mode = "USB"
+            channels = 4
+        self.cfg = Cfg()
+
+    def set_frequency(self, hz):
+        self.freq_hz = hz
+        self.calls.append(("freq", hz))
+
+    def set_mode(self, m):
+        self.cfg.mode = m
+        self.calls.append(("mode", m))
+
+    def set_sub_rx(self, channel, freq_hz=None, mode=None, route=None):
+        self.calls.append(("subrx", channel, freq_hz, mode, route))
+
+
+def _recv_json(ws, deadline=5.0):
+    end = time.monotonic() + deadline
+    while time.monotonic() < end:
+        op, p = ws.recv_frame()
+        if op == 0x1:
+            return json.loads(p.decode())
+    raise AssertionError("no text frame")
+
+
+def _recv_spectrum(ws, deadline=5.0):
+    end = time.monotonic() + deadline
+    while time.monotonic() < end:
+        op, p = ws.recv_frame()
+        if op == 0x2 and p[:1] == b"S":
+            f0, df, sm = struct.unpack_from("<ddf", p, 1)
+            row = np.frombuffer(p[21:], np.float32)
+            return f0, df, sm, row
+    raise AssertionError("no spectrum frame")
+
+
+def test_page_and_ws_handshake():
+    ui = WebUIServer(FakeRadio())
+    port = ui.start()
+    try:
+        s = socket.create_connection(("127.0.0.1", port), timeout=5)
+        s.sendall(b"GET / HTTP/1.1\r\nHost: x\r\n\r\n")
+        page = b""
+        while True:
+            chunk = s.recv(65536)
+            if not chunk:
+                break
+            page += chunk
+        assert b"200 OK" in page
+        assert b"<canvas" in page and b"WebSocket" in page
+        for m in MODES:
+            assert m.encode() in page
+        s.close()
+    finally:
+        ui.stop()
+
+
+def test_control_round_trip_and_state_broadcast():
+    fake = FakeRadio()
+    ui = WebUIServer(fake)
+    port = ui.start()
+    try:
+        ws = WsClient(port, path="/ws")
+        st = _recv_json(ws)                      # state on connect
+        assert st["freq"] == 7_050_000.0 and st["mode"] == "USB"
+        assert st["modes"] == MODES and st["channels"] == 4
+        ws.send_text(json.dumps({"cmd": "freq", "value": 7_074_000}))
+        st = _recv_json(ws)                      # state re-broadcast
+        assert st["freq"] == 7_074_000.0
+        ws.send_text(json.dumps({"cmd": "mode", "value": "LSB"}))
+        st = _recv_json(ws)
+        assert st["mode"] == "LSB"
+        ws.send_text(json.dumps({"cmd": "subrx", "channel": 2,
+                                 "freq": 7_060_000, "mode": "AM",
+                                 "route": "left"}))
+        _recv_json(ws)
+        assert ("subrx", 2, 7_060_000, "AM", "left") in fake.calls
+        # malformed input must not kill the connection
+        ws.send_text("{nope")
+        ws.send_text(json.dumps({"cmd": "mode", "value": "NOT_A_MODE"}))
+        ws.send_text(json.dumps({"cmd": "freq", "value": 7_100_000}))
+        st = _recv_json(ws)
+        assert st["freq"] == 7_100_000.0
+        ws.s.close()
+    finally:
+        ui.stop()
+
+
+def test_spectrum_frame_format():
+    ui = WebUIServer(FakeRadio())
+    port = ui.start()
+    try:
+        ws = WsClient(port, path="/ws")
+        _recv_json(ws)
+        deadline = time.monotonic() + 5
+        while ui.n_clients == 0 and time.monotonic() < deadline:
+            time.sleep(0.01)
+        row = np.linspace(-140.0, -20.0, 256).astype(np.float32)
+        ui.send_spectrum(7_000_000.0, 93.75, row, smeter_db=-73.0)
+        f0, df, sm, got = _recv_spectrum(ws)
+        assert f0 == 7_000_000.0 and abs(df - 93.75) < 1e-9
+        assert abs(sm - (-73.0)) < 1e-4
+        np.testing.assert_array_equal(got, row)
+        ws.s.close()
+    finally:
+        ui.stop()
+
+
+def test_radio_webui_integration():
+    cfg = RadioConfig(sample_rate=48000.0, audio_block=2048, mode="USB",
+                      tune_hz=10000.0)
+    radio = Radio(cfg, hardware="sim")
+    radio.hw.tone_hz = 10300.0
+    radio.open()
+    try:
+        port = radio.enable_webui()
+        ws = WsClient(port, path="/ws")
+        st = _recv_json(ws)
+        assert st["mode"] == "USB"
+        deadline = time.monotonic() + 5
+        while radio.webui.n_clients == 0 and time.monotonic() < deadline:
+            time.sleep(0.01)
+        # a full graph refresh interval of blocks -> one spectrum frame
+        radio.run(blocks=radio.graph.blocks_per_refresh + 1)
+        f0, df, sm, row = _recv_spectrum(ws)
+        assert row.shape == (1024,)
+        assert np.all(np.isfinite(row))
+        # the tone sits 10.3 kHz above the (0 Hz) VFO in the row
+        peak_hz = f0 + df * int(np.argmax(row))
+        assert abs(peak_hz - 10300.0) < 3 * df
+        # tune from the page; the running chain follows
+        ws.send_text(json.dumps({"cmd": "freq", "value": 12000}))
+        deadline = time.monotonic() + 5
+        while radio.freq_hz != 12000.0 and time.monotonic() < deadline:
+            time.sleep(0.01)
+        assert radio.freq_hz == 12000.0
+        ws.s.close()
+    finally:
+        radio.close()
