@@ -77,9 +77,12 @@ def bench_flagship(iters: int = 50, latency: bool = False) -> dict:
 
     chain, x = _build_flagship()
     step = make_boundary_step(lambda ch, st, xx: ch.step(st, xx))
-    pchain = pack_tree(chain)
-    pstate = pack_tree(chain.init_state())
-    px = pack_tree(x)
+    # pin everything on-device once: the production ingest path double-
+    # buffers device feeds the same way, and host numpy args would be
+    # re-transferred per dispatch, timing PCIe/tunnel instead of compute
+    pchain = jax.device_put(pack_tree(chain))
+    pstate = jax.device_put(pack_tree(chain.init_state()))
+    px = jax.device_put(pack_tree(x))
 
     pstate, audio = step(pchain, pstate, px)      # warmup / compile
     _sync(audio)
@@ -121,10 +124,19 @@ def _fft_flops(n: int) -> float:
 
 
 def bench_stages(iters: int = 20) -> list[dict]:
-    """Per-stage timing + analytic FLOP/HBM-byte roofline of the flagship.
+    """Per-stage profile of the flagship by PREFIX DIFFERENCING.
 
-    Each stage is jitted separately (so fusion across stages is absent —
-    the stage sum exceeds the fused whole-chain time; both are reported).
+    Timing each op as its own dispatch is hopeless on this runtime: the
+    per-dispatch overhead over the axon tunnel (tens of ms) dwarfs every
+    on-chip stage, so a table of separately-jitted stages measures the
+    tunnel, not the chain (observed: every stage 20-50 ms while the fused
+    whole chain runs 10 ms).  Instead we jit chain *prefixes* — identity,
+    front, front+decim0, ... full — each dispatched exactly like the
+    flagship loop (state-chained, pipelined, one sync), and report the
+    *difference* between consecutive prefixes: fixed dispatch overhead
+    cancels, and each delta is the marginal fused cost of adding that
+    stage.  Small negative deltas are timing noise on cheap stages.
+
     FLOPs are algorithmic f32 counts; Precision.HIGHEST dots run as
     multi-pass bf16 on the MXU (~3-6x the listed FLOPs executed).
     """
@@ -132,69 +144,83 @@ def bench_stages(iters: int = 20) -> list[dict]:
 
     chain, x = _build_flagship()
     C, B = chain.channels, chain.block_in
-    state = chain.init_state()
-    results = []
+    assert chain.front is not None and chain.agc is not None
+    nstage = len(chain.stages)
 
-    def run(name, fn, st_part, packed_inp, flops, bytes_):
-        """Times fn(state, input); returns the stage's packed output."""
-        stepf = make_boundary_step(fn)
-        pst = pack_tree(st_part)
-        new_st, out = stepf(pst, packed_inp)      # compile
+    def prefix_body(ch, k, st, xx):
+        """Run the first k ops of the chain (0 = identity pass-through)."""
+        st = dict(st)
+        y = xx
+        if k >= 1:
+            st["front"], y = ch.front(st["front"], y)
+        new_stage_states = []
+        for i, (op, s) in enumerate(zip(ch.stages, st["stages"])):
+            if k >= 2 + i:
+                s, y = op(s, y)
+            new_stage_states.append(s)
+        st["stages"] = tuple(new_stage_states)
+        if k >= 2 + nstage:
+            st["bp"], y = ch.bp(st["bp"], y)
+        if k >= 3 + nstage:
+            st["demod"], y = ch.demod(st["demod"], y)
+        if k >= 4 + nstage:
+            st["agc"], y = ch.agc(st["agc"], y)
+        return st, y
+
+    pchain = jax.device_put(pack_tree(chain))
+    pstate0 = jax.device_put(pack_tree(chain.init_state()))
+    px = jax.device_put(pack_tree(x))
+
+    def timed_prefix(k) -> float:
+        stepf = make_boundary_step(
+            lambda ch, st, xx: prefix_body(ch, k, st, xx))
+        st, out = stepf(pchain, pstate0, px)      # compile
         _sync(out)
+        st = pstate0
         t0 = time.perf_counter()
         for _ in range(iters):
-            new_st, out = stepf(pst, packed_inp)
-        _sync((new_st, out))
-        dt = (time.perf_counter() - t0) / iters
-        results.append({
-            "stage": name, "ms": round(dt * 1e3, 3),
-            "gflops": round(flops / 1e9, 2),
-            "gbytes": round(bytes_ / 1e9, 3),
-            "mfu_pct": round(100 * flops / dt / PEAK_BF16_FLOPS, 2),
-            "hbm_pct": round(100 * bytes_ / dt / PEAK_HBM_BPS, 1),
-        })
-        return out
+            st, out = stepf(pchain, st, px)
+        _sync((st, out))
+        return (time.perf_counter() - t0) / iters
 
-    # stage 1: fused NCO tune + first /2 decimation (Pallas)
-    front = chain.front
+    # analytic FLOP / HBM-byte estimates per marginal stage
     n1 = B // 2
-    fl = C * B * (14 + 6) + C * n1 * 45 * 4       # sincos+mix, 45-tap cplx*real
-    by = C * (B + n1) * 8 + C * B * 8             # in pairs + out + phasor mat.
-    y = run("front: fused tune+decim/2 (Pallas)",
-            lambda s, xx: front(s, xx), state["front"], pack_tree(x), fl, by)
-
-    # remaining decimation stages (blocked-Toeplitz MXU matmuls)
+    est = [("dispatch floor (identity prefix)", 0.0, 0.0),
+           ("front: fused tune+decim/2 (Pallas)",
+            C * B * (14 + 6) + C * n1 * 45 * 4,
+            C * (B + n1) * 8 + C * B * 8)]
     b = n1
     for i, op in enumerate(chain.stages):
         K, R = op.M.shape
         nblk = (op.block // op.decim) // R
-        fl = 2 * (2 * C) * nblk * K * R
-        by = (2 * C * nblk * K + 2 * C * nblk * R) * 4 + K * R * 4
-        y = run(f"decim stage {i} (matmul /{op.decim}, T={op.ntaps})",
-                lambda s, yy, op=op: op(s, yy),
-                state["stages"][i], y, fl, by)
+        est.append((f"decim stage {i} (matmul /{op.decim}, T={op.ntaps})",
+                    2 * (2 * C) * nblk * K * R,
+                    (2 * C * nblk * K + 2 * C * nblk * R) * 4 + K * R * 4))
         b //= op.decim
+    nfft = chain.bp.nfft
+    est.append((f"bandpass OLS (T={chain.bp.ntaps}, nfft={nfft})",
+                C * (2 * _fft_flops(nfft) + 6 * nfft),
+                C * (3 * nfft) * 8 + C * nfft * 8))
+    est.append(("mixed demod (SSB+AM+FM)", C * b * 60, C * b * 8 * 2))
+    est.append(("AGC (scan)", C * b * 40, C * b * 4 * 2))
 
-    # channel bandpass: overlap-save FFT FIR
-    bp = chain.bp
-    nfft = bp.nfft
-    fl = C * (2 * _fft_flops(nfft) + 6 * nfft)
-    by = C * (3 * nfft) * 8 + C * nfft * 8        # x, X/Y, out + masks
-    y = run(f"bandpass OLS (T={bp.ntaps}, nfft={nfft})",
-            lambda s, yy: bp(s, yy), state["bp"], y, fl, by)
-
-    # demod (all families computed, masked select)
-    dm = chain.demod
-    fl = C * b * 60
-    by = C * b * 8 * 2
-    y = run("mixed demod (SSB+AM+FM)",
-            lambda s, yy: dm(s, yy), state["demod"], y, fl, by)
-
-    # AGC scan
-    agc = chain.agc
-    fl = C * b * 40
-    by = C * b * 4 * 2
-    run("AGC (scan)", lambda s, yy: agc(s, yy), state["agc"], y, fl, by)
+    times = [timed_prefix(k) for k in range(len(est))]
+    results = [{"stage": "dispatch floor (identity prefix)",
+                "ms": round(times[0] * 1e3, 3), "gflops": 0.0,
+                "gbytes": 0.0, "mfu_pct": 0.0, "hbm_pct": 0.0}]
+    for k in range(1, len(est)):
+        name, flops, bytes_ = est[k]
+        dt = times[k] - times[k - 1]
+        measurable = dt > 1e-6            # negative/zero delta: noise only
+        results.append({
+            "stage": name, "ms": round(dt * 1e3, 3),
+            "gflops": round(flops / 1e9, 2),
+            "gbytes": round(bytes_ / 1e9, 3),
+            "mfu_pct": (round(100 * flops / dt / PEAK_BF16_FLOPS, 2)
+                        if measurable else 0.0),
+            "hbm_pct": (round(100 * bytes_ / dt / PEAK_HBM_BPS, 1)
+                        if measurable else 0.0),
+        })
     return results
 
 
@@ -228,7 +254,8 @@ def bench_pfb(iters: int = 20) -> dict:
          + 1j * rng.standard_normal((S, B))).astype(np.complex64)
     st = (pfb.init_state(S), demod.init_state(S * K))
     stepf = make_boundary_step(fn)
-    pst, px = pack_tree(st), pack_tree(x)
+    pst = jax.device_put(pack_tree(st))
+    px = jax.device_put(pack_tree(x))
     new_st, out = stepf(pst, px)
     _sync(out)
     t0 = time.perf_counter()
@@ -263,7 +290,8 @@ def bench_tx(iters: int = 20) -> dict:
     voice = sources.voice_like(48000.0, B).astype(np.float32)
     audio = np.broadcast_to(voice, (C, B)).copy()
     stepf = make_boundary_step(lambda st, a: tx.step(st, a))
-    pst, pa = pack_tree(tx.init_state()), pack_tree(audio)
+    pst = jax.device_put(pack_tree(tx.init_state()))
+    pa = jax.device_put(pack_tree(audio))
     cur, iq = stepf(pst, pa)
     _sync(iq)
     t0 = time.perf_counter()
@@ -315,17 +343,19 @@ def main():
              f"- per-dispatch latency: {flag.get('latency_ms_per_block')} ms "
              f"(includes ~3 ms tunnel dispatch overhead)",
              "",
-             "## Stage breakdown (separately jitted; no cross-stage fusion)",
+             "## Stage breakdown (prefix differencing: each row is the",
+             "## marginal pipelined cost of adding that stage to the chain)",
              "",
-             "| stage | ms/block | GFLOP | GB | MFU% (bf16 peak) | HBM% |",
+             "| stage | marginal ms/block | GFLOP | GB | MFU% (bf16 peak) | HBM% |",
              "|---|---|---|---|---|---|"]
     for s in stages:
         lines.append(f"| {s['stage']} | {s['ms']} | {s['gflops']} | "
                      f"{s['gbytes']} | {s['mfu_pct']} | {s['hbm_pct']} |")
     tot = sum(s["ms"] for s in stages)
     lines += ["",
-              f"Stage sum: {tot:.2f} ms vs fused whole-chain "
-              f"{flag.get('sustained_ms_per_block')} ms.",
+              f"Floor + marginal sum: {tot:.2f} ms vs fused whole-chain "
+              f"{flag.get('sustained_ms_per_block')} ms (small mismatch = "
+              "prefix-boundary fusion differences + timing noise).",
               "",
               "FLOPs are algorithmic f32; Precision.HIGHEST dots execute as",
               "multi-pass bf16 (~3-6x listed).  The workload is",

@@ -131,3 +131,83 @@ class KeyJitterBuffer:
             out[i] = 1.0 if self.state else 0.0
         self.clock = t0 + n / self.fs
         return out
+
+
+class SerialKey:
+    """Serial-port CW key / PTT via the CTS and DSR modem-status bits.
+
+    Parity: is_key_down.c — ``quisk_open_key(port, cts, dsr)`` configures
+    each modem bit as 'None'/'CW'/'PTT' with optional "when low" polarity
+    (is_key_down.c:24-61); ``quisk_poll_hardware_key`` (is_key_down.c:73)
+    reads the bits every sound-loop iteration (sound.c:898) and sets
+    ``quisk_serial_key_down`` / ``quisk_serial_ptt``.  The POSIX reference
+    reads the bits with ``ioctl(TIOCMGET)``; so does this class.
+
+    ``cts``/``dsr`` are the reference's config strings, e.g. "CW when high",
+    "PTT when low", "None".  ``read_bits`` is injectable for tests (and for
+    hardware backends that report key state out-of-band): a callable
+    returning ``(cts_bit, dsr_bit)``.
+    """
+
+    def __init__(self, port: str = "", cts: str = "None", dsr: str = "None",
+                 read_bits=None):
+        self.use_cts, self.rev_cts = self._parse(cts)
+        self.use_dsr, self.rev_dsr = self._parse(dsr)
+        self.key_down = False
+        self.ptt = False
+        self.fd = -1
+        self._read_bits = read_bits
+        self.error = ""
+        if read_bits is None and port:
+            try:
+                import os
+                self.fd = os.open(port, os.O_RDWR | os.O_NOCTTY | os.O_NONBLOCK)
+            except OSError as e:                 # startup_error=1 path
+                self.error = f"open {port}: {e.strerror}"
+
+    @staticmethod
+    def _parse(s: str):
+        use = (s or "N")[0].upper()              # 'N', 'C', 'P'
+        return (use if use in "CP" else "N"), ("when low" in (s or ""))
+
+    @property
+    def in_use(self) -> bool:
+        """quisk_use_serial_port: a bit is configured and the port opened."""
+        ok = self._read_bits is not None or self.fd >= 0
+        return ok and (self.use_cts != "N" or self.use_dsr != "N")
+
+    def _modem_bits(self):
+        if self._read_bits is not None:
+            return self._read_bits()
+        if self.fd < 0:
+            return 0, 0
+        import fcntl
+        import struct as _struct
+        import termios
+        try:
+            buf = fcntl.ioctl(self.fd, termios.TIOCMGET, _struct.pack("I", 0))
+            bits = _struct.unpack("I", buf)[0]
+        except OSError:                          # e.g. a pty: no modem bits
+            return 0, 0
+        return bits & termios.TIOCM_CTS, bits & termios.TIOCM_DSR
+
+    def poll(self) -> tuple[bool, bool]:
+        """One quisk_poll_hardware_key: -> (key_down, ptt)."""
+        if not self.in_use:
+            return self.key_down, self.ptt
+        cts, dsr = self._modem_bits()
+        if self.use_cts == "C":
+            self.key_down = (not cts) if self.rev_cts else bool(cts)
+        elif self.use_cts == "P":
+            self.ptt = (not cts) if self.rev_cts else bool(cts)
+        if self.use_dsr == "C":
+            self.key_down = (not dsr) if self.rev_dsr else bool(dsr)
+        elif self.use_dsr == "P":
+            self.ptt = (not dsr) if self.rev_dsr else bool(dsr)
+        return self.key_down, self.ptt
+
+    def close(self) -> None:
+        if self.fd >= 0:
+            import os
+            os.close(self.fd)
+            self.fd = -1

@@ -114,6 +114,9 @@ class Radio:
         if getattr(self, "webui", None) is not None:
             self.webui.stop()
             self.webui = None
+        if getattr(self, "serial_key", None) is not None:
+            self.serial_key.close()
+            self.serial_key = None
         if self.settings is not None:
             self.settings.save()
 
@@ -273,6 +276,8 @@ class Radio:
     def run_once(self) -> np.ndarray | None:
         """Pull one block from hardware through the chain; feeds the
         spectrum/waterfall; returns the audio block (or None if starved)."""
+        if getattr(self, "serial_key", None) is not None:
+            self.serial_key.poll()           # sound.c:898 polls every loop
         x = self.hw.read_samples(self.chain.block_in)
         if x is None:
             self.status.count("read_starved")
@@ -393,6 +398,18 @@ class Radio:
             return None
         return self.graph.waterfall[-1][1:]
 
+    # ---- serial CW key / PTT (is_key_down.c; polled at sound.c:898) ------
+    def enable_serial_key(self, port: str = "", cts: str = "None",
+                          dsr: str = "None", read_bits=None) -> str:
+        """Poll a serial port's CTS/DSR modem bits as CW key and/or PTT
+        each block (quisk_open_key parity).  Returns '' or the open error
+        message, like the reference."""
+        from quisk_tpu.app.cw import SerialKey
+
+        self.serial_key = SerialKey(port, cts=cts, dsr=dsr,
+                                    read_bits=read_bits)
+        return self.serial_key.error
+
     # ---- transmit -------------------------------------------------------
     def enable_tx(self, tx_rate: float | None = None, **tx_kwargs) -> None:
         """Attach a transmit chain + PTT controller (mic audio in,
@@ -407,15 +424,29 @@ class Radio:
         self.ptt = PttController(self.cfg.audio_rate, self.tx.block,
                                  max_tx_secs=600.0)
         self.vox = VoxControl(self.cfg.audio_rate, self.tx.block)
+        from quisk_tpu.app.cw import KeyEnvelope
+        self._cw_env = KeyEnvelope(self.cfg.audio_rate)
 
     def transmit(self, mic_block: np.ndarray, ptt: bool = False,
                  cw_key: bool = False) -> np.ndarray | None:
         """One TX block: mic [block] float -> IQ [block_tx] complex, or
-        None when not keyed (VOX/PTT/failsafes decide)."""
+        None when not keyed (VOX/PTT/failsafes decide).  A configured
+        serial key (enable_serial_key) ORs into ptt/cw_key, like the
+        reference's quisk_serial_key_down/quisk_serial_ptt globals."""
+        if getattr(self, "serial_key", None) is not None:
+            k, p = self.serial_key.poll()
+            cw_key = cw_key or k
+            ptt = ptt or p
         vox = self.vox.process(mic_block)
         if not self.ptt.process(ptt=ptt, cw_key=cw_key, vox=vox):
             return None
         self.hw.OnButtonPTT(True)
+        if self.cfg.mode in ("CWU", "CWL"):
+            # CW: the chain's audio input is the key envelope, shaped with
+            # the 5 ms raised-cosine ramps (quisk.c:2386/2408) so the keyed
+            # carrier never clicks
+            key = np.full(self.tx.block, 1.0 if cw_key else 0.0, np.float32)
+            mic_block = self._cw_env.process(key)
         self._tx_state, iq = self.tx.step(
             self._tx_state, np.asarray(mic_block, np.float32)[None])
         return np.asarray(iq)[0]

@@ -61,3 +61,70 @@ def test_radio_vfo_split_absolute_cat_frequency():
     assert radio.vfo_hz == 7_074_000.0 and radio.cfg.tune_hz == 1000.0
     radio.set_frequency(14_074_000.0)   # band change: VFO must follow
     assert radio.vfo_hz == 14_074_000.0 and radio.cfg.tune_hz == 0.0
+
+
+# --------------------------- serial CW key / PTT (is_key_down.c parity)
+def test_serial_key_bit_mapping():
+    from quisk_tpu.app.cw import SerialKey
+
+    bits = {"cts": 0, "dsr": 0}
+    key = SerialKey(cts="CW when high", dsr="PTT when low",
+                    read_bits=lambda: (bits["cts"], bits["dsr"]))
+    assert key.in_use
+    # dsr low => PTT asserted ("when low"); cts low => key up
+    assert key.poll() == (False, True)
+    bits["cts"], bits["dsr"] = 1, 1
+    assert key.poll() == (True, False)
+    # reversed-polarity CW on DSR
+    key2 = SerialKey(dsr="CW when low",
+                     read_bits=lambda: (0, bits["dsr"]))
+    bits["dsr"] = 0
+    assert key2.poll() == (True, False)
+    bits["dsr"] = 1
+    assert key2.poll() == (False, False)
+    # unconfigured bits never assert
+    key3 = SerialKey(read_bits=lambda: (1, 1))
+    assert not key3.in_use
+    assert key3.poll() == (False, False)
+
+
+def test_serial_key_open_error_and_pty():
+    import os
+    import pty
+
+    from quisk_tpu.app.cw import SerialKey
+
+    bad = SerialKey("/nonexistent/ttyS99", cts="CW when high")
+    assert bad.error and not bad.in_use
+    # a pty opens but has no modem bits: polls read all-zero, no crash
+    master, slave = pty.openpty()
+    k = SerialKey(os.ttyname(slave), cts="CW when high")
+    assert k.error == ""
+    assert k.poll() == (False, False)
+    k.close()
+    os.close(master)
+    os.close(slave)
+
+
+def test_radio_serial_key_drives_tx():
+    import numpy as np
+
+    from quisk_tpu.app.config import RadioConfig
+    from quisk_tpu.app.radio import Radio
+
+    cfg = RadioConfig(sample_rate=48000.0, audio_block=2048, mode="CWU",
+                      tune_hz=1000.0)
+    radio = Radio(cfg, hardware="sim")
+    radio.open()
+    try:
+        radio.enable_tx()
+        state = {"down": False}
+        radio.enable_serial_key(cts="CW when high",
+                                read_bits=lambda: (state["down"], 0))
+        mic = np.zeros(radio.tx.block, np.float32)
+        assert radio.transmit(mic) is None          # key up: no TX
+        state["down"] = True
+        iq = radio.transmit(mic)                    # serial key keys the TX
+        assert iq is not None and np.max(np.abs(iq)) > 0.1
+    finally:
+        radio.close()
