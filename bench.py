@@ -69,20 +69,28 @@ def _build_flagship():
     return chain, x
 
 
-def bench_flagship(iters: int = 50, latency: bool = False) -> dict:
+def bench_flagship(iters: int = 50, latency: bool = False,
+                   nblk: int = 1) -> dict:
     # No complex64 may cross the host<->device boundary on the axon TPU
     # runtime: chain/state/input are packed into (re, im) float32 pairs and
     # rebuilt with lax.complex inside jit (quisk_tpu.utils.boundary).
     from quisk_tpu.utils.boundary import make_boundary_step, pack_tree
 
     chain, x = _build_flagship()
-    step = make_boundary_step(lambda ch, st, xx: ch.step(st, xx))
+    # nblk > 1 batches blocks per dispatch (step_blocks, Python-unrolled).
+    # Measured: the async dispatch pipeline already overlaps the ~3.6 ms
+    # per-dispatch floor, and the unrolled program schedules slightly
+    # worse (nblk=4: 3986 Msps vs nblk=1: 4308), so the default is 1.
+    xs = np.concatenate([x] * nblk, axis=-1)
+    step = make_boundary_step(
+        (lambda ch, st, xx: ch.step(st, xx)) if nblk == 1
+        else (lambda ch, st, xx: ch.step_blocks(st, xx, nblk)))
     # pin everything on-device once: the production ingest path double-
     # buffers device feeds the same way, and host numpy args would be
     # re-transferred per dispatch, timing PCIe/tunnel instead of compute
     pchain = jax.device_put(pack_tree(chain))
     pstate = jax.device_put(pack_tree(chain.init_state()))
-    px = jax.device_put(pack_tree(x))
+    px = jax.device_put(pack_tree(xs))
 
     pstate, audio = step(pchain, pstate, px)      # warmup / compile
     _sync(audio)
@@ -97,7 +105,7 @@ def bench_flagship(iters: int = 50, latency: bool = False) -> dict:
 
     timed(5)                                      # settle queues/caches
     dt = timed(iters)
-    msps = chain.channels * chain.block_in * iters / dt / 1e6
+    msps = chain.channels * chain.block_in * nblk * iters / dt / 1e6
     out = {
         "metric": "aggregate IQ Msamples/s/chip (tune+decim+OLS FIR+demod+AGC, 1024ch @960k)",
         "value": round(msps, 1),
@@ -113,8 +121,9 @@ def bench_flagship(iters: int = 50, latency: bool = False) -> dict:
             st, audio = step(pchain, st, px)
             _sync(audio)
             lat.append(time.perf_counter() - t0)
-        out["latency_ms_per_block"] = round(float(np.median(lat)) * 1e3, 2)
-        out["sustained_ms_per_block"] = round(dt / iters * 1e3, 2)
+        out["latency_ms_per_dispatch"] = round(float(np.median(lat)) * 1e3, 2)
+        out["blocks_per_dispatch"] = nblk
+        out["sustained_ms_per_block"] = round(dt / iters / nblk * 1e3, 2)
     return out
 
 
@@ -315,9 +324,12 @@ def main():
                     help="also bench stages/PFB/TX and write BENCH_DETAIL.md")
     ap.add_argument("--iters", type=int, default=50,
                     help="timed iterations (reduce for CPU smoke tests)")
+    ap.add_argument("--nblk", type=int, default=1,
+                    help="blocks per dispatch in the flagship loop")
     args = ap.parse_args()
 
-    flag = bench_flagship(iters=args.iters, latency=args.all)
+    flag = bench_flagship(iters=args.iters, latency=args.all,
+                          nblk=args.nblk)
     print(json.dumps({k: flag[k] for k in
                       ("metric", "value", "unit", "vs_baseline")}))
 
@@ -338,10 +350,10 @@ def main():
              "",
              "## Flagship (1024 ch x 960 kHz)", "",
              f"- sustained: {flag['value']} Msps "
-             f"({flag.get('sustained_ms_per_block')} ms/block pipelined over "
-             f"50 dispatches)",
-             f"- per-dispatch latency: {flag.get('latency_ms_per_block')} ms "
-             f"(includes ~3 ms tunnel dispatch overhead)",
+             f"({flag.get('sustained_ms_per_block')} ms/block, "
+             f"{flag.get('blocks_per_dispatch')} blocks/dispatch, pipelined)",
+             f"- per-dispatch latency: {flag.get('latency_ms_per_dispatch')} "
+             f"ms (includes ~3.6 ms tunnel dispatch overhead)",
              "",
              "## Stage breakdown (prefix differencing: each row is the",
              "## marginal pipelined cost of adding that stage to the chain)",

@@ -142,6 +142,43 @@ class Radio:
         self.channel_modes[0] = mode
         self.hw.ChangeMode(mode)
         self._retune()
+        if getattr(self, "tx", None) is not None:
+            self._apply_tx_audio()
+
+    # ---- per-mode TX audio settings (quisk.py:3716 txAudioClipUsb/Am/
+    # Fm/Fdv + txAudioPreemph*, applied on mode change at 5681-5695) ------
+    _TX_AUDIO_FAMILY = {"USB": "Usb", "LSB": "Usb", "AM": "Am", "FM": "Fm",
+                        "DGT_FM": "Fm", "FDV_U": "Fdv", "FDV_L": "Fdv",
+                        "DGT_FDV": "Fdv"}
+
+    def _tx_family(self) -> str | None:
+        return self._TX_AUDIO_FAMILY.get(self.cfg.mode)
+
+    def set_tx_audio(self, clip_db: float | None = None,
+                     preemph: float | None = None) -> None:
+        """Set the TX audio clip (compressor drive dB) and/or preemphasis
+        coefficient for the CURRENT mode's family; remembered per family
+        and re-applied on every mode change, like the reference's
+        txAudioClip*/txAudioPreemph* per-mode state."""
+        fam = self._tx_family()
+        if fam is None:
+            return                     # CW/DGT data modes: no mic shaping
+        entry = self.tx_audio.setdefault(fam, {"clip_db": 0.0,
+                                               "preemph": 0.0})
+        if clip_db is not None:
+            entry["clip_db"] = float(clip_db)
+        if preemph is not None:
+            entry["preemph"] = float(preemph)
+        self._apply_tx_audio()
+
+    def _apply_tx_audio(self) -> None:
+        if getattr(self, "tx", None) is None:
+            return
+        fam = self._tx_family()
+        entry = getattr(self, "tx_audio", {}).get(
+            fam or "", {"clip_db": 0.0, "preemph": 0.0})
+        self.tx = self.tx.set_audio_settings(clip_db=entry["clip_db"],
+                                             preemph=entry["preemph"])
 
     def set_sub_rx(self, channel: int, freq_hz: float | None = None,
                    mode: str | None = None, route: str | None = None) -> None:
@@ -426,6 +463,12 @@ class Radio:
         self.vox = VoxControl(self.cfg.audio_rate, self.tx.block)
         from quisk_tpu.app.cw import KeyEnvelope
         self._cw_env = KeyEnvelope(self.cfg.audio_rate)
+        # per-family settings seeded from the built chain's config so a
+        # mode change to an untouched family restores the configured values
+        seed = {"clip_db": float(tx_kwargs.get("compress_db", 0.0)),
+                "preemph": float(tx_kwargs.get("preemphasis", 0.0))}
+        self.tx_audio = {f: dict(seed) for f in ("Usb", "Am", "Fm", "Fdv")}
+        self._apply_tx_audio()
 
     def transmit(self, mic_block: np.ndarray, ptt: bool = False,
                  cw_key: bool = False) -> np.ndarray | None:

@@ -23,20 +23,21 @@ class SoftCompressor:
 
     knee: jnp.ndarray
     ceiling: jnp.ndarray
-    gain: jnp.ndarray          # input drive gain (the compression amount)
+    gain: jnp.ndarray          # drive gain (scalar or [C]); <=1 bypasses
 
     @classmethod
-    def create(cls, drive_db: float = 6.0, knee: float = 0.5,
+    def create(cls, drive_db: float | np.ndarray = 6.0, knee: float = 0.5,
                ceiling: float = 1.0):
-        g = 10.0 ** (drive_db / 20.0)
+        g = 10.0 ** (np.asarray(drive_db, np.float32) / 20.0)
         return cls(knee=jnp.float32(knee), ceiling=jnp.float32(ceiling),
-                   gain=jnp.float32(g))
+                   gain=jnp.asarray(g, jnp.float32))
 
     def init_state(self, channels: int):
         return ()
 
     def __call__(self, state, a: jnp.ndarray):
-        x = a * self.gain
+        gain = self.gain if self.gain.ndim == 0 else self.gain[:, None]
+        x = a * gain
         s = jnp.sign(x)
         m = jnp.abs(x)
         k, c = self.knee, self.ceiling
@@ -45,7 +46,10 @@ class SoftCompressor:
         t = jnp.clip((m - k) / span, 0.0, 1.0)
         soft = k + span * (t - 0.5 * t * t)
         y = jnp.where(m <= k, m, soft)
-        return state, s * jnp.minimum(y, c)
+        out = s * jnp.minimum(y, c)
+        # drive <= 1 means "clip off" — exact pass-through so per-channel
+        # clip settings are pure data (quisk.py:5681 txAudioClip* per mode)
+        return state, jnp.where(gain <= 1.0, a, out)
 
 
 def _env_clip(z: jnp.ndarray, ceiling) -> jnp.ndarray:

@@ -173,7 +173,7 @@ class Preemphasis:
     """First-difference pre-emphasis y[n] = x[n] - c*x[n-1] (~6 dB/octave,
     parity: microphone.c:452-465).  State is x_prev [C]."""
 
-    c: jnp.ndarray
+    c: jnp.ndarray                 # scalar, or [C] per-channel coefficient
 
     @classmethod
     def create(cls, c: float = 0.97, dtype=jnp.float32):
@@ -184,4 +184,5 @@ class Preemphasis:
 
     def __call__(self, x_prev: jnp.ndarray, x: jnp.ndarray):
         xm1 = jnp.concatenate([x_prev[:, None], x[:, :-1]], axis=-1)
-        return x[:, -1], x - self.c * xm1
+        c = self.c if self.c.ndim == 0 else self.c[:, None]
+        return x[:, -1], x - c * xm1

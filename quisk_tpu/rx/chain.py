@@ -331,6 +331,24 @@ class RxChain:
                               audio.astype(jnp.complex64))
         return st, audio
 
+    def step_blocks(self, state, iq: jnp.ndarray, nblocks: int):
+        """``nblocks`` consecutive blocks in ONE dispatch: iq [C,
+        nblocks*block_in] -> audio [C, nblocks*block_audio].
+
+        The loop is Python-unrolled inside the jitted program (NOT
+        lax.scan — scanning around the Pallas front-end hangs Mosaic
+        compilation, see CLAUDE.md), trading compile time for amortizing
+        the per-dispatch overhead across blocks.  Bit-identical to
+        ``nblocks`` successive :meth:`step` calls."""
+        C = iq.shape[0]
+        outs = []
+        for i in range(nblocks):
+            state, a = self.step(
+                state, jax.lax.slice_in_dim(
+                    iq, i * self.block_in, (i + 1) * self.block_in, axis=-1))
+            outs.append(a)
+        return state, jnp.concatenate(outs, axis=-1)
+
     def process(self, state, iq: jnp.ndarray):
         """Many blocks via lax.scan: iq [C, N] -> audio [C, N_audio]."""
         C, N = iq.shape

@@ -94,10 +94,12 @@ class TxChain:
         else:
             taps = voice_taps
         analytic = OverlapSaveFIR.create(taps, B)
-        pre = (Preemphasis.create(config.preemphasis)
-               if config.preemphasis > 0 else None)
-        comp = (SoftCompressor.create(config.compress_db)
-                if config.compress_db > 0 else None)
+        # always instantiated: coefficient 0 / drive 0 dB are exact
+        # pass-throughs, so per-mode clip/preemph settings (quisk.py:3716
+        # txAudioClip*/txAudioPreemph*) are pure data — switching TX mode
+        # audio processing never recompiles (see set_audio_settings)
+        pre = Preemphasis.create(config.preemphasis)
+        comp = SoftCompressor.create(config.compress_db)
         # conformance process_alc (microphone.c:270): 20 ms lookahead,
         # clip-safe down-ramp, 5 s gain-doubling recovery, per-mode gain
         # memory — applied to the MODULATED IQ like the reference
@@ -139,6 +141,23 @@ class TxChain:
                    am_carrier=jnp.float32(config.am_carrier),
                    channels=C, block=B, block_tx=B * L,
                    audio_rate=config.audio_rate)
+
+    def set_audio_settings(self, clip_db=None, preemph=None) -> "TxChain":
+        """New chain with per-channel TX audio clip (dB of compressor
+        drive, 0 = off) and/or preemphasis coefficient (0..1, 0 = off) —
+        data-only, shapes unchanged (parity quisk.py:5681-5695: the
+        per-mode txAudioClip*/txAudioPreemph* sliders)."""
+        new = self
+        if clip_db is not None:
+            arr = np.broadcast_to(np.asarray(clip_db, np.float32),
+                                  (self.channels,))
+            new = new.replace(comp=SoftCompressor.create(arr))
+        if preemph is not None:
+            arr = np.broadcast_to(np.asarray(preemph, np.float32),
+                                  (self.channels,))
+            new = new.replace(preemph=new.preemph.replace(
+                c=jnp.asarray(arr, jnp.float32)))
+        return new
 
     def init_state(self):
         C = self.channels

@@ -130,3 +130,37 @@ def test_chain_step_equals_process():
         outs.append(np.asarray(a))
     a_steps = np.concatenate(outs, axis=-1)
     np.testing.assert_allclose(np.asarray(a_scan), a_steps, atol=1e-5)
+
+
+def test_step_blocks_matches_sequential_steps():
+    """step_blocks (multi-block single dispatch) must be bit-identical to
+    successive step() calls — same carried state, concatenated audio."""
+    import jax
+    import numpy as np
+    from quisk_tpu.modes import Mode
+    from quisk_tpu.rx import RxChain, RxChainConfig
+
+    cfg = RxChainConfig(sample_rate=192000.0, channels=4, audio_block=512)
+    chain = RxChain.create(cfg, tune_hz=[1000.0, -2000.0, 0.0, 500.0],
+                           mode=[int(Mode.USB), int(Mode.LSB),
+                                 int(Mode.AM), int(Mode.FM)])
+    rng = np.random.default_rng(7)
+    N = 3
+    x = (rng.standard_normal((4, N * chain.block_in))
+         + 1j * rng.standard_normal((4, N * chain.block_in))
+         ).astype(np.complex64)
+
+    st_a = chain.init_state()
+    outs = []
+    for i in range(N):
+        st_a, a = chain.step(
+            st_a, x[:, i * chain.block_in:(i + 1) * chain.block_in])
+        outs.append(np.asarray(a))
+    seq = np.concatenate(outs, axis=-1)
+
+    st_b, multi = jax.jit(chain.step_blocks, static_argnums=2)(
+        chain.init_state(), x, N)
+    np.testing.assert_allclose(np.asarray(multi), seq, rtol=0, atol=1e-6)
+    for la, lb in zip(jax.tree.leaves(st_a), jax.tree.leaves(st_b)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=0, atol=1e-6)

@@ -1,6 +1,7 @@
 """Optional TX stages (CESSB, predistorter slot) wired into TxChain."""
 
 import numpy as np
+import pytest
 
 from quisk_tpu.modes import Mode
 from quisk_tpu.io import sources
@@ -137,3 +138,59 @@ def test_dgt_tx_uses_wide_flat_filter():
     p_dgt = np.mean(np.abs(run(Mode.DGT_U)) ** 2)
     p_usb = np.mean(np.abs(run(Mode.USB)) ** 2)
     assert p_dgt > 10.0 * p_usb, (p_dgt, p_usb)
+
+
+def test_per_mode_tx_audio_settings_are_data():
+    """txAudioClip*/txAudioPreemph* parity (quisk.py:3716, 5681-5695):
+    per-mode clip/preemph settings apply as data (no shape change) and the
+    0 settings are exact pass-throughs."""
+    import numpy as np
+    import jax
+    from quisk_tpu.modes import Mode
+    from quisk_tpu.tx import TxChain, TxChainConfig
+
+    # alc off: its 20 ms lookahead would delay the first block to zeros
+    tx = TxChain.create(TxChainConfig(channels=2, audio_block=2048,
+                                      alc=False),
+                        mode=[int(Mode.USB), int(Mode.USB)])
+    rng = np.random.default_rng(3)
+    a = (0.9 * rng.standard_normal((2, 2048))).astype(np.float32)
+
+    _, iq0 = tx.step(tx.init_state(), a)
+    tx_hot = tx.set_audio_settings(clip_db=[12.0, 0.0], preemph=[0.5, 0.0])
+    # same pytree structure: stepping reuses the compiled program
+    assert (jax.tree_util.tree_structure(tx)
+            == jax.tree_util.tree_structure(tx_hot))
+    _, iq1 = tx_hot.step(tx.init_state(), a)
+    iq0, iq1 = np.asarray(iq0), np.asarray(iq1)
+    # channel 1 kept the zero settings: bit-identical to the original
+    np.testing.assert_array_equal(iq1[1], iq0[1])
+    # channel 0 is processed differently (clipped + preemphasized)
+    assert np.max(np.abs(iq1[0] - iq0[0])) > 1e-3
+
+
+def test_radio_remembers_tx_audio_per_mode_family():
+    import numpy as np
+    from quisk_tpu.app.config import RadioConfig
+    from quisk_tpu.app.radio import Radio
+
+    cfg = RadioConfig(sample_rate=48000.0, audio_block=2048, mode="USB",
+                      tune_hz=1000.0)
+    r = Radio(cfg, hardware="sim")
+    r.open()
+    try:
+        r.enable_tx(compress_db=3.0)
+        # seeded from the config for every family
+        assert r.tx_audio["Fm"]["clip_db"] == 3.0
+        r.set_tx_audio(clip_db=15.0, preemph=0.6)      # USB family
+        assert r.tx_audio["Usb"] == {"clip_db": 15.0, "preemph": 0.6}
+        r.set_mode("FM")
+        assert float(np.max(np.asarray(r.tx.comp.gain))) == pytest.approx(
+            10 ** (3 / 20), rel=1e-6)
+        r.set_mode("LSB")                              # back to Usb family
+        assert float(np.max(np.asarray(r.tx.comp.gain))) == pytest.approx(
+            10 ** (15 / 20), rel=1e-6)
+        assert float(np.max(np.asarray(r.tx.preemph.c))) == pytest.approx(
+            0.6, rel=1e-6)
+    finally:
+        r.close()
