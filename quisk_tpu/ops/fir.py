@@ -247,6 +247,23 @@ class MatmulFIR:
             return np.zeros((channels, self.ntaps - 1), np.complex64)
         return jnp.zeros((channels, self.ntaps - 1), jnp.float32)
 
+    @staticmethod
+    def _patches(lhs: jnp.ndarray, nblk: int, S: int, K: int) -> jnp.ndarray:
+        """[Q, L] -> overlapping windows [Q, nblk, K] at stride S, built
+        from static shifted reshapes (concat of views) instead of a
+        gather — XLA emits strided copies, no gather kernel."""
+        Q = lhs.shape[0]
+        views = []
+        for v in range(-(-K // S)):               # ceil(K / S) shifted views
+            seg = lhs[:, v * S:]
+            need = nblk * S
+            if seg.shape[-1] < need:
+                seg = jnp.pad(seg, ((0, 0), (0, need - seg.shape[-1])))
+            else:
+                seg = seg[:, :need]
+            views.append(seg.reshape(Q, nblk, S))
+        return jnp.concatenate(views, axis=-1)[:, :, :K]
+
     def __call__(self, hist: jnp.ndarray, x: jnp.ndarray):
         """hist [C, T-1], x [C, B] -> (hist', y [C, B/decim]); output
         alignment identical to ConvFIR (true convolution, stream phase
@@ -256,25 +273,25 @@ class MatmulFIR:
         C = x.shape[0]
         K, R = self.M.shape
         nblk = (self.block // self.decim) // R
-        idx = (jnp.arange(nblk) * (R * self.decim))[:, None] \
-            + jnp.arange(K)[None, :]
-        # Precision.HIGHEST: the TPU MXU truncates f32 operands to bf16 by
-        # default (~55 dB — far below the filters' stopband floors);
-        # highest selects the multi-pass f32 emulation
+        S = R * self.decim
+        # The TPU MXU truncates f32 operands to bf16 by default (~55 dB —
+        # far below the filters' stopband floors); precision.DECIM_DOT
+        # selects a multi-pass f32 emulation tier (see ops/precision.py)
+        from quisk_tpu.ops import precision as _prec
         if jnp.iscomplexobj(xe):
             lhs = jnp.concatenate(
                 [jnp.real(xe), jnp.imag(xe)], axis=0).astype(jnp.float32)
-            patches = lhs[:, idx]                        # [2C, nblk, K]
+            patches = self._patches(lhs, nblk, S, K)     # [2C, nblk, K]
             y = jax.lax.dot_general(
                 patches, self.M, (((2,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
+                precision=_prec.DECIM_DOT,
                 preferred_element_type=jnp.float32)      # [2C, nblk, R]
             y = y.reshape(2 * C, -1)
             return new_hist, jax.lax.complex(y[:C], y[C:])
-        patches = xe.astype(jnp.float32)[:, idx]
+        patches = self._patches(xe.astype(jnp.float32), nblk, S, K)
         y = jax.lax.dot_general(
             patches, self.M, (((2,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_prec.DECIM_DOT,
             preferred_element_type=jnp.float32).reshape(C, -1)
         return new_hist, y
 

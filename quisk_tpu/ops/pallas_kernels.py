@@ -70,14 +70,20 @@ def _fused_kernel(word_ref, phase_ref, xr_hbm, xi_hbm, M_ref,
         a = j * R * s
         pr = tr[:, a: a + K]
         pi = tiq[:, a: a + K]
-        # Precision.HIGHEST: Mosaic's default MXU dot truncates f32 inputs
-        # to bf16 (measured 2e-3 relative error — 55 dB, far below the
-        # filter's stopband); highest selects the multi-pass f32 emulation
+        # Mosaic's default MXU dot truncates f32 inputs to bf16 (measured
+        # 2e-3 relative error — 55 dB, far below the filter's stopband);
+        # precision.DECIM_DOT picks the f32-emulation tier (trace-time).
+        # Mosaic cannot lower Precision.HIGH — fall back to HIGHEST here
+        # (the XLA MatmulFIR stages do honor HIGH).
+        from quisk_tpu.ops import precision as _prec
+        kprec = (_prec.DECIM_DOT
+                 if _prec.DECIM_DOT != jax.lax.Precision.HIGH
+                 else jax.lax.Precision.HIGHEST)
         yr_ref[:, j * R:(j + 1) * R] = jnp.dot(
-            pr, M, precision=jax.lax.Precision.HIGHEST,
+            pr, M, precision=kprec,
             preferred_element_type=jnp.float32)
         yi_ref[:, j * R:(j + 1) * R] = jnp.dot(
-            pi, M, precision=jax.lax.Precision.HIGHEST,
+            pi, M, precision=kprec,
             preferred_element_type=jnp.float32)
 
 

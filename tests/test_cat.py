@@ -185,8 +185,9 @@ def test_radio_cat_surfaces_share_one_state():
         # K4 client retunes; the serial ZZ client then reads the same state
         s = socket.create_connection(("127.0.0.1", port), timeout=5)
         s.sendall(b"FA00000012000;MD1;")
-        deadline = time.monotonic() + 5
-        while radio.freq_hz != 12000.0 and time.monotonic() < deadline:
+        deadline = time.monotonic() + 10
+        while ((radio.freq_hz != 12000.0 or radio.cfg.mode != "LSB")
+               and time.monotonic() < deadline):
             time.sleep(0.01)
         assert radio.freq_hz == 12000.0
         assert radio.cfg.mode == "LSB"
