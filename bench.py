@@ -282,6 +282,51 @@ def bench_pfb(iters: int = 20) -> dict:
     }
 
 
+# ------------------------------------------------------- featured chain
+def bench_featured(iters: int = 20) -> dict:
+    """Flagship chain with every optional RX stage enabled: noise blanker
+    on raw IQ, FFT auto-notch, LMS ANF, spectral NR (NR2 gain tables),
+    SSB + FM squelch — the cost of the full WDSP-style feature set that
+    BENCH's default flagship omits (VERDICT round-1 weak #2)."""
+    from quisk_tpu.modes import Mode
+    from quisk_tpu.rx import RxChain, RxChainConfig
+    from quisk_tpu.utils.boundary import make_boundary_step, pack_tree
+
+    C = 1024
+    FS = 960000.0
+    cfg = RxChainConfig(sample_rate=FS, channels=C, audio_block=2048,
+                        agc=True, fused_frontend=True,
+                        noise_blanker=2, auto_notch=True, nr=True,
+                        anf=True, squelch=True, fm_squelch=True)
+    modes = [int(Mode.USB), int(Mode.LSB), int(Mode.AM), int(Mode.FM)]
+    chain = RxChain.create(
+        cfg,
+        tune_hz=[(-FS / 4 + (i + 0.5) * FS / (2 * C)) for i in range(C)],
+        mode=[modes[i % 4] for i in range(C)],
+    )
+    rng = np.random.default_rng(2)
+    x = (rng.standard_normal((C, chain.block_in))
+         + 1j * rng.standard_normal((C, chain.block_in))).astype(np.complex64)
+    step = make_boundary_step(lambda ch, st, xx: ch.step(st, xx))
+    pchain = jax.device_put(pack_tree(chain))
+    pstate = jax.device_put(pack_tree(chain.init_state()))
+    px = jax.device_put(pack_tree(x))
+    cur, audio = step(pchain, pstate, px)
+    _sync(audio)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        cur, audio = step(pchain, cur, px)
+    _sync((cur, audio))
+    dt = (time.perf_counter() - t0) / iters
+    msps = C * chain.block_in / dt / 1e6
+    return {
+        "metric": "featured chain 1024ch @960k (+NB, auto-notch, ANF, NR2, SSB+FM squelch)",
+        "value": round(msps, 1), "unit": "Msps",
+        "vs_baseline": round(msps / BASELINE_MSPS, 1),
+        "ms_per_block": round(dt * 1e3, 2),
+    }
+
+
 # ------------------------------------------------------------------ TX
 def bench_tx(iters: int = 20) -> dict:
     """TX chain: voice -> SSB/FM modulated IQ at 192 k, 256 channels."""
@@ -337,9 +382,10 @@ def main():
         return
     it = max(3, args.iters // 2)
     stages = bench_stages(iters=it)
+    feat = bench_featured(iters=it)
     pfb = bench_pfb(iters=it)
     tx = bench_tx(iters=it)
-    for extra in (pfb, tx):
+    for extra in (feat, pfb, tx):
         print(json.dumps(extra))
 
     lines = ["# BENCH_DETAIL — per-stage profile and roofline",
@@ -374,6 +420,8 @@ def main():
               "bandwidth/FFT-shaped, so HBM% is the meaningful roofline axis.",
               "",
               "## Other configs", "",
+              f"- {feat['metric']}: {feat['value']} {feat['unit']} "
+              f"({feat['ms_per_block']} ms/block)",
               f"- {pfb['metric']}: {pfb['value']} {pfb['unit']} "
               f"({pfb['ms_per_block']} ms/block)",
               f"- {tx['metric']}: {tx['value']} {tx['unit']} "

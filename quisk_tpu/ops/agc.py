@@ -386,15 +386,21 @@ class TxALC:
         A = self.buf
         onehot_mode = jax.nn.one_hot(self.mode, self.n_modes,
                                      dtype=jnp.float32)          # [C, M]
-        pos = jnp.arange(A)
+        # The per-mode gain memory only has its ACTIVE row read/written
+        # inside a block (mode is static data), so the scan carries the
+        # scalar per-channel gain and the one-hot scatter back into
+        # gain_now happens once per block — keeping the per-sample step to
+        # O(C) vector ops plus one in-place delay-line column write
+        # (dynamic_update_slice aliases the carry; a masked full-buffer
+        # write here measured ~30x slower at [256, 960] x 2048 steps).
+        g0 = jnp.sum(st["gain_now"] * onehot_mode, axis=-1)      # [C]
 
         def step(carry, xj):
-            buf, gains, gc, fg, nc, cnt, flt, bi, idx = carry
-            g = jnp.sum(gains * onehot_mode, axis=-1)            # [C]
+            buf, g, gc, fg, nc, cnt, flt, bi, idx = carry
             cur = jax.lax.dynamic_slice_in_dim(buf, idx, 1, axis=1)[:, 0]
             out = cur * g.astype(buf.dtype)
-            mask = (pos == idx)[None, :]
-            buf = jnp.where(mask, xj[:, None], buf)
+            buf = jax.lax.dynamic_update_slice_in_dim(
+                buf, xj[:, None].astype(buf.dtype), idx, axis=1)
             magn = jnp.abs(xj)
 
             clip = magn * (g + gc * A) > self.target
@@ -425,12 +431,11 @@ class TxALC:
             bi_n = jnp.where(clip, jnp.broadcast_to(idx, bi.shape), bi)
 
             g_new = g + gc_n
-            gains = gains + (g_new - g)[:, None] * onehot_mode
             idx_n = jnp.where(idx + 1 >= A, 0, idx + 1)
-            return (buf, gains, gc_n, fg_n, nc_n, cnt_n, flt_n, bi_n,
+            return (buf, g_new, gc_n, fg_n, nc_n, cnt_n, flt_n, bi_n,
                     idx_n), out
 
-        carry0 = (st["buffer"], st["gain_now"], st["gain_change"],
+        carry0 = (st["buffer"], g0, st["gain_change"],
                   st["final_gain"], st["next_change"], st["counter"],
                   st["fault"], st["block_index"], st["index"])
         carry, outs = jax.lax.scan(step, carry0, jnp.moveaxis(x, 1, 0))
@@ -438,4 +443,6 @@ class TxALC:
         new_st = dict(zip(("buffer", "gain_now", "gain_change", "final_gain",
                            "next_change", "counter", "fault", "block_index",
                            "index"), carry))
+        new_st["gain_now"] = (st["gain_now"]
+                              + (carry[1] - g0)[:, None] * onehot_mode)
         return new_st, out

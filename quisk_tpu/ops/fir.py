@@ -247,23 +247,6 @@ class MatmulFIR:
             return np.zeros((channels, self.ntaps - 1), np.complex64)
         return jnp.zeros((channels, self.ntaps - 1), jnp.float32)
 
-    @staticmethod
-    def _patches(lhs: jnp.ndarray, nblk: int, S: int, K: int) -> jnp.ndarray:
-        """[Q, L] -> overlapping windows [Q, nblk, K] at stride S, built
-        from static shifted reshapes (concat of views) instead of a
-        gather — XLA emits strided copies, no gather kernel."""
-        Q = lhs.shape[0]
-        views = []
-        for v in range(-(-K // S)):               # ceil(K / S) shifted views
-            seg = lhs[:, v * S:]
-            need = nblk * S
-            if seg.shape[-1] < need:
-                seg = jnp.pad(seg, ((0, 0), (0, need - seg.shape[-1])))
-            else:
-                seg = seg[:, :need]
-            views.append(seg.reshape(Q, nblk, S))
-        return jnp.concatenate(views, axis=-1)[:, :, :K]
-
     def __call__(self, hist: jnp.ndarray, x: jnp.ndarray):
         """hist [C, T-1], x [C, B] -> (hist', y [C, B/decim]); output
         alignment identical to ConvFIR (true convolution, stream phase
@@ -274,6 +257,12 @@ class MatmulFIR:
         K, R = self.M.shape
         nblk = (self.block // self.decim) // R
         S = R * self.decim
+        # Patch extraction is a batched constant-index GATHER on purpose: a
+        # strided-reshape/concat-of-views rewrite was A/B'd on the TPU and
+        # measured equal at both flagship stage shapes in isolation and
+        # within run-to-run variance (~8% on the shared tunnel runtime) for
+        # the whole fused chain — the gather is kept as the simpler program.
+        idx = (jnp.arange(nblk) * S)[:, None] + jnp.arange(K)[None, :]
         # The TPU MXU truncates f32 operands to bf16 by default (~55 dB —
         # far below the filters' stopband floors); precision.DECIM_DOT
         # selects a multi-pass f32 emulation tier (see ops/precision.py)
@@ -281,14 +270,14 @@ class MatmulFIR:
         if jnp.iscomplexobj(xe):
             lhs = jnp.concatenate(
                 [jnp.real(xe), jnp.imag(xe)], axis=0).astype(jnp.float32)
-            patches = self._patches(lhs, nblk, S, K)     # [2C, nblk, K]
+            patches = lhs[:, idx]                        # [2C, nblk, K]
             y = jax.lax.dot_general(
                 patches, self.M, (((2,), (0,)), ((), ())),
                 precision=_prec.DECIM_DOT,
                 preferred_element_type=jnp.float32)      # [2C, nblk, R]
             y = y.reshape(2 * C, -1)
             return new_hist, jax.lax.complex(y[:C], y[C:])
-        patches = self._patches(xe.astype(jnp.float32), nblk, S, K)
+        patches = xe.astype(jnp.float32)[:, idx]
         y = jax.lax.dot_general(
             patches, self.M, (((2,), (0,)), ((), ())),
             precision=_prec.DECIM_DOT,
