@@ -386,22 +386,25 @@ class TxALC:
         A = self.buf
         onehot_mode = jax.nn.one_hot(self.mode, self.n_modes,
                                      dtype=jnp.float32)          # [C, M]
-        # The per-mode gain memory only has its ACTIVE row read/written
-        # inside a block (mode is static data), so the scan carries the
-        # scalar per-channel gain and the one-hot scatter back into
-        # gain_now happens once per block — keeping the per-sample step to
-        # O(C) vector ops plus one in-place delay-line column write
-        # (dynamic_update_slice aliases the carry; a masked full-buffer
-        # write here measured ~30x slower at [256, 960] x 2048 steps).
+        # Two structural rewrites keep the (inherently sequential,
+        # reference-exact) recurrence to O(C) VECTOR ops per sample:
+        # 1. the delay line never enters the scan — the output is just the
+        #    input delayed by A samples (a static concat+slice) scaled by
+        #    the gain trajectory, and the gain recurrence only reads the
+        #    CURRENT sample's magnitude;
+        # 2. the per-mode gain memory only has its active row touched
+        #    inside a block (mode is static data), so the scan carries the
+        #    scalar per-channel gain and the one-hot scatter back into
+        #    gain_now happens once per block.
+        # (The naive port — ring buffer + masked write + one-hot update
+        # per sample — cost ~80 ms/block at [256, 2048] on the TPU.)
+        ext = jnp.concatenate([jnp.asarray(st["buffer"]), x], axis=-1)
+        out_raw = ext[:, :B]                                     # x delayed A
+        magn_in = jnp.abs(x)
         g0 = jnp.sum(st["gain_now"] * onehot_mode, axis=-1)      # [C]
 
-        def step(carry, xj):
-            buf, g, gc, fg, nc, cnt, flt, bi, idx = carry
-            cur = jax.lax.dynamic_slice_in_dim(buf, idx, 1, axis=1)[:, 0]
-            out = cur * g.astype(buf.dtype)
-            buf = jax.lax.dynamic_update_slice_in_dim(
-                buf, xj[:, None].astype(buf.dtype), idx, axis=1)
-            magn = jnp.abs(xj)
+        def step(carry, magn):
+            g, gc, fg, nc, cnt, flt, bi, idx = carry
 
             clip = magn * (g + gc * A) > self.target
             # clip branch: down-ramp to land exactly at the safe gain
@@ -432,17 +435,18 @@ class TxALC:
 
             g_new = g + gc_n
             idx_n = jnp.where(idx + 1 >= A, 0, idx + 1)
-            return (buf, g_new, gc_n, fg_n, nc_n, cnt_n, flt_n, bi_n,
-                    idx_n), out
+            return (g_new, gc_n, fg_n, nc_n, cnt_n, flt_n, bi_n,
+                    idx_n), g
 
-        carry0 = (st["buffer"], g0, st["gain_change"],
+        carry0 = (g0, st["gain_change"],
                   st["final_gain"], st["next_change"], st["counter"],
                   st["fault"], st["block_index"], st["index"])
-        carry, outs = jax.lax.scan(step, carry0, jnp.moveaxis(x, 1, 0))
-        out = jnp.moveaxis(outs, 0, 1)
-        new_st = dict(zip(("buffer", "gain_now", "gain_change", "final_gain",
+        carry, gains = jax.lax.scan(step, carry0, jnp.moveaxis(magn_in, 1, 0))
+        out = out_raw * jnp.moveaxis(gains, 0, 1).astype(out_raw.dtype)
+        new_st = dict(zip(("gain_now", "gain_change", "final_gain",
                            "next_change", "counter", "fault", "block_index",
                            "index"), carry))
+        new_st["buffer"] = ext[:, ext.shape[-1] - A:]
         new_st["gain_now"] = (st["gain_now"]
-                              + (carry[1] - g0)[:, None] * onehot_mode)
+                              + (carry[0] - g0)[:, None] * onehot_mode)
         return new_st, out
