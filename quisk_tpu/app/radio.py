@@ -77,6 +77,16 @@ class Radio:
         self._pchain = pack_tree(self.chain)
         self._pstate = pack_tree(self.chain.init_state())
         self._dirty = False
+        # manual notch database (wdsp/nbp.c): absolute-RF entries carved
+        # into the channel filters as data; persisted through Settings
+        from quisk_tpu.app.notchdb import NotchDB
+        if settings is not None and settings.get_state().get("notches"):
+            self.notch_db = NotchDB.from_list(
+                settings.get_state()["notches"])
+        else:
+            self.notch_db = NotchDB()
+        if len(self.notch_db):
+            self._retune()               # carve restored notches in
         self.tci = None
         self.rigctl = None
         if rigctl_port is not None:
@@ -204,6 +214,19 @@ class Radio:
     def _retune(self) -> None:
         modes = [int(Mode[m]) for m in self.channel_modes]
         want_iq = any(m == "DGT_IQ" for m in self.channel_modes)
+        # manual notch database entries that land in each channel's
+        # passband, carved into the channel filter (wdsp/nbp.c semantics)
+        notches = None
+        if len(self.notch_db):
+            from quisk_tpu.rx.chain import _cw_rit
+            rits = _cw_rit(np.asarray(modes), self.rx_cfg.cw_pitch)
+            notches = [self.notch_db.baseband(self.vfo_hz + off, rit)
+                       for off, rit in zip(self.offsets, rits)]
+            self._notched = True
+        elif getattr(self, "_notched", False):
+            # last notch removed: one clean redesign to uncarve the masks
+            notches = [()] * len(modes)
+            self._notched = False
         if want_iq != self.chain.demod.iq_out:
             # complex pass-through is a create-time static (it changes the
             # chain's output dtype): rebuild + reset carried state — the
@@ -211,10 +234,29 @@ class Radio:
             self.chain = RxChain.create(self.rx_cfg, tune_hz=self.offsets,
                                         mode=modes)
             self._pstate = pack_tree(self.chain.init_state())
+            if notches is not None:
+                self.chain = self.chain.retune(self.rx_cfg, mode=modes,
+                                               notches_hz=notches)
         else:
             self.chain = self.chain.retune(self.rx_cfg, tune_hz=self.offsets,
-                                           mode=modes)
+                                           mode=modes, notches_hz=notches)
         self._dirty = True
+
+    # ---- manual notches (wdsp/nbp.c notch-bank bandpass) ----------------
+    def add_notch(self, freq_hz: float, width_hz: float = 100.0) -> None:
+        """Add a persistent manual notch at an absolute RF frequency; it
+        is carved into every channel filter whose passband contains it
+        and tracks retunes (pure data — no recompile)."""
+        self.notch_db.add(freq_hz, width_hz)
+        self._retune()
+
+    def remove_notch(self, freq_hz: float) -> None:
+        if self.notch_db.remove(freq_hz):
+            self._retune()
+
+    def set_notch_active(self, freq_hz: float, active: bool) -> None:
+        self.notch_db.set_active(freq_hz, active)
+        self._retune()
 
     def _on_cat_change(self, field, value) -> None:
         if field == "freq":
@@ -357,7 +399,8 @@ class Radio:
             self.cat_serial.process()    # poll the ZZ pty (quisk.py:6593)
         if self.settings is not None:
             self.settings.update_state(tune_hz=self.cfg.tune_hz,
-                                       mode=self.cfg.mode)
+                                       mode=self.cfg.mode,
+                                       notches=self.notch_db.to_list())
         return np.asarray(audio)
 
     def run(self, blocks: int) -> np.ndarray:

@@ -71,6 +71,30 @@ def bandpass_analytic(ntaps: int, f1: float, f2: float, fs: float,
     return tune(lp, center, fs)
 
 
+def bandpass_with_notches(ntaps: int, f1: float, f2: float, fs: float,
+                          notches=(), window: str | tuple = "blackman"
+                          ) -> np.ndarray:
+    """Analytic bandpass with narrow notches carved out of the passband.
+
+    ``notches`` is a sequence of ``(center_hz, width_hz)`` on the same
+    frequency axis as ``[f1, f2]``.  Each in-band notch subtracts an
+    aligned narrow analytic bandpass from the impulse response — both are
+    linear-phase with the same delay, so their frequency responses
+    subtract exactly and the passband elsewhere is untouched.  This is
+    the reference's notch-bank bandpass (wdsp/nbp.c: the channel filter
+    is re-designed with the database's in-band notches removed); notches
+    outside (or clipped to) the passband are skipped.
+    """
+    h = bandpass_analytic(ntaps, f1, f2, fs, window)
+    for fc, width in notches:
+        lo = max(f1, fc - width / 2.0)
+        hi = min(f2, fc + width / 2.0)
+        if hi - lo < 1e-9:
+            continue                     # entirely out of band
+        h = h - bandpass_analytic(ntaps, lo, hi, fs, window)
+    return h
+
+
 @functools.lru_cache(maxsize=None)
 def halfband(ntaps: int = 45, atten_db: float = 120.0) -> np.ndarray:
     """Half-band lowpass for decimate-by-2 (parity: filter.c:379-385 HB45).

@@ -213,7 +213,8 @@ class RxChain:
     def retune(self, config: RxChainConfig,
                tune_hz: Sequence[float] | float | None = None,
                mode: Sequence[int] | int | None = None,
-               bandwidth_hz: Sequence[float] | None = None) -> "RxChain":
+               bandwidth_hz: Sequence[float] | None = None,
+               notches_hz=None) -> "RxChain":
         """New chain with updated tunables (NCO words, filter masks, mode
         vector) — every changed quantity is data with unchanged shapes, so
         stepping the new chain reuses the compiled program and the carried
@@ -239,7 +240,7 @@ class RxChain:
             else:
                 new = new.replace(nco=NCO.create(
                     tune_eff, config.sample_rate, self.block_in, C))
-        if mode is not None or bandwidth_hz is not None:
+        if mode is not None or bandwidth_hz is not None or notches_hz is not None:
             if bandwidth_hz is None:
                 bands = [mode_band(Mode(int(m)), None, config.cw_pitch)
                          for m in modes]
@@ -248,12 +249,30 @@ class RxChain:
                                       (C,))
                 bands = [mode_band(Mode(int(m)), bw, config.cw_pitch)
                          for m, bw in zip(modes, bws)]
+            # per-channel manual notches (wdsp/nbp.c notch-bank bandpass):
+            # baseband (f_center, width) pairs carved out of the channel
+            # filter at design time — still pure data, no recompile
+            if notches_hz is None:
+                nlists = [()] * C
+            elif notches_hz and isinstance(notches_hz[0], (int, float)):
+                raise ValueError("notches_hz: per-channel sequences of "
+                                 "(center_hz, width_hz) pairs")
+            elif len(notches_hz) and (
+                    not len(notches_hz[0])
+                    or isinstance(notches_hz[0][0], (tuple, list))):
+                nlists = [tuple(map(tuple, nl)) for nl in notches_hz]
+                if len(nlists) == 1:
+                    nlists = nlists * C
+            else:                        # one flat list of pairs: broadcast
+                nlists = [tuple(map(tuple, notches_hz))] * C
             plan = plan_decimation(config.sample_rate, config.audio_rate)
             cache: dict[tuple, np.ndarray] = {}
-            for lo, hi in set(bands):
-                cache[(lo, hi)] = design.bandpass_analytic(
-                    config.filter_taps, lo, hi, plan.fs_mid)
-            taps = np.stack([cache[b] for b in bands])
+            for band, nl in set(zip(bands, nlists)):
+                lo, hi = band
+                cache[(band, nl)] = design.bandpass_with_notches(
+                    config.filter_taps, lo, hi, plan.fs_mid, nl)
+            taps = np.stack([cache[(b, nl)]
+                             for b, nl in zip(bands, nlists)])
             new = new.replace(bp=new.bp.retuned(taps))
             if mode is not None:
                 new = new.replace(demod=new.demod.replace(
