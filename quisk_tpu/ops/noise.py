@@ -61,12 +61,18 @@ class NoiseBlanker:
             [jnp.zeros_like(csum[:, :1]), csum[:, :-w]], axis=-1)) / w
         m = jnp.abs(x)
         pulse = (m > self.limit * jnp.maximum(avg, 1e-12)).astype(jnp.float32)
-        # widen the pulse with the raised-cosine kernel -> blanking depth
-        pw = jax.lax.conv_general_dilated(
-            pulse[:, None, :], self.kernel[None, None, :], (1,),
-            padding=[(self.kwidth // 2, self.kwidth // 2)],
-            dimension_numbers=("NCH", "OIH", "NCH"),
-            precision=jax.lax.Precision.HIGHEST)[:, 0, :]
+        # widen the pulse with the raised-cosine kernel -> blanking depth.
+        # FFT convolution: at wideband rates the kernel is ~1000 taps
+        # (500 us half-window), and a feature-1 direct conv over
+        # [C, 40960] is ~40 GFLOP of VPU work per block; rfft/irfft is
+        # ~6x cheaper and identical (symmetric kernel, real signals).
+        B = x.shape[-1]
+        K = self.kwidth
+        nfft = 1 << int(np.ceil(np.log2(B + K - 1)))
+        pw_full = jnp.fft.irfft(
+            jnp.fft.rfft(pulse, nfft) * jnp.fft.rfft(self.kernel, nfft),
+            nfft)
+        pw = pw_full[:, K // 2: K // 2 + B]      # 'same' centered alignment
         gain = jnp.clip(1.0 - pw, 0.0, 1.0)
         new_hist = xe[:, xe.shape[-1] - (self.avg_win - 1):]
         return new_hist, x * gain
