@@ -210,9 +210,12 @@ def bench_stages(iters: int = 20) -> list[dict]:
             C * (B + n1) * 8 + C * B * 8)]
     b = n1
     for i, op in enumerate(chain.stages):
-        K, R = op.M.shape
+        M = op.Mg if hasattr(op, "Mg") else op.M
+        K, R = M.shape
         nblk = (op.block // op.decim) // R
-        est.append((f"decim stage {i} (matmul /{op.decim}, T={op.ntaps})",
+        kind = ("halfband polyphase" if hasattr(op, "Mg")
+                else f"matmul /{op.decim}")
+        est.append((f"decim stage {i} ({kind}, T={op.ntaps})",
                     2 * (2 * C) * nblk * K * R,
                     (2 * C * nblk * K + 2 * C * nblk * R) * 4 + K * R * 4))
         b //= op.decim

@@ -285,16 +285,107 @@ class MatmulFIR:
         return new_hist, y
 
 
+@struct.dataclass
+class HalfbandFIR:
+    """Decimate-by-2 half-band FIR as a polyphase MXU matmul.
+
+    A half-band's taps are zero at every even offset from the center
+    (filter.c:377-417 exploits the same structure as the "center-tap
+    trick"): only the (T-1)/2 odd-index taps and the center survive.  The
+    output splits into one [K/2]-deep Toeplitz matmul over the ODD input
+    phase plus center_tap * (a shifted view of the EVEN phase) — half the
+    MXU work of the dense MatmulFIR formulation for the same exact sum
+    (the dropped terms are exact zeros).
+
+        y[j] = sum_m h[2m+1] * xe[2j + 2c - 2m - 1]  +  h[c] * xe[2j + c]
+
+    with c = T//2.  Interface and output alignment identical to MatmulFIR.
+    """
+
+    Mg: jnp.ndarray                      # [R + c - 1, R] odd-phase taps
+    center: jnp.ndarray                  # scalar center tap
+    ntaps: int = struct.field(pytree_node=False)
+    block: int = struct.field(pytree_node=False)
+    R: int = struct.field(pytree_node=False)
+    decim: int = struct.field(pytree_node=False, default=2)
+    complex_state: bool = struct.field(pytree_node=False, default=True)
+
+    @staticmethod
+    def is_halfband(taps: np.ndarray) -> bool:
+        taps = np.asarray(taps)
+        T = taps.shape[-1]
+        if taps.ndim != 1 or T % 4 != 1 or np.iscomplexobj(taps):
+            return False
+        c = T // 2
+        even = taps[::2]
+        return bool(np.all(even[np.arange(even.shape[0]) != c // 2] == 0.0)
+                    and taps[c] != 0.0)
+
+    @classmethod
+    def create(cls, taps, block: int, complex_state: bool = True,
+               R: int = 128):
+        taps = np.asarray(taps, np.float64)
+        T = taps.shape[-1]
+        c = T // 2
+        g = taps[1::2]                                   # [c] odd-index taps
+        n_out = block // 2
+        while n_out % R:
+            R //= 2
+        M = np.zeros((R + c - 1, R), np.float32)
+        grev = g[::-1]
+        for r in range(R):
+            M[r: r + c, r] = grev
+        return cls(Mg=jnp.asarray(M), center=jnp.float32(taps[c]),
+                   ntaps=T, block=block, R=R, complex_state=complex_state)
+
+    def init_state(self, channels: int):
+        if self.complex_state:
+            return np.zeros((channels, self.ntaps - 1), np.complex64)
+        return jnp.zeros((channels, self.ntaps - 1), jnp.float32)
+
+    def __call__(self, hist: jnp.ndarray, x: jnp.ndarray):
+        from quisk_tpu.ops import precision as _prec
+        xe = jnp.concatenate([hist, x], axis=-1)
+        new_hist = xe[..., xe.shape[-1] - (self.ntaps - 1):]
+        C = x.shape[0]
+        c = self.ntaps // 2
+        n_out = self.block // 2
+        R = self.R
+        if jnp.iscomplexobj(xe):
+            lhs = jnp.concatenate(
+                [jnp.real(xe), jnp.imag(xe)], axis=0).astype(jnp.float32)
+        else:
+            lhs = xe.astype(jnp.float32)
+        even = lhs[:, ::2]                               # e[p] = xe[2p]
+        odd = lhs[:, 1::2]                               # o[p] = xe[2p+1]
+        idx = (jnp.arange(n_out // R) * R)[:, None] + \
+            jnp.arange(R + c - 1)[None, :]
+        patches = odd[:, idx]                            # [*, nblk, R+c-1]
+        y = jax.lax.dot_general(
+            patches, self.Mg, (((2,), (0,)), ((), ())),
+            precision=_prec.DECIM_DOT,
+            preferred_element_type=jnp.float32).reshape(lhs.shape[0], -1)
+        y = y + self.center * even[:, c // 2: c // 2 + n_out]
+        if jnp.iscomplexobj(xe):
+            return new_hist, jax.lax.complex(y[:C], y[C:])
+        return new_hist, y
+
+
 def make_fir(taps, block: int, decim: int = 1, complex_state: bool = True,
              method: str = "auto"):
-    """Pick the FIR engine: MXU matmul for real-tap decimators, conv for
-    short kernels, overlap-save for long complex ones."""
+    """Pick the FIR engine: polyphase matmul for half-band /2 stages, MXU
+    matmul for other real-tap decimators, conv for short kernels,
+    overlap-save for long complex ones."""
     taps = np.asarray(taps)
     if method == "auto":
-        if not np.iscomplexobj(taps) and decim > 1:
+        if decim == 2 and HalfbandFIR.is_halfband(taps):
+            method = "halfband"
+        elif not np.iscomplexobj(taps) and decim > 1:
             method = "matmul"
         else:
             method = "conv" if taps.shape[-1] <= 192 or decim > 4 else "ols"
+    if method == "halfband":
+        return HalfbandFIR.create(taps, block, complex_state)
     if method == "matmul":
         return MatmulFIR.create(taps, block, decim, complex_state)
     if method == "conv":

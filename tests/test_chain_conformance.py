@@ -40,6 +40,15 @@ def test_chain_matches_float64_oracle_tightly():
         st = _St()
         if hasattr(s, "taps"):
             st.taps = np.asarray(s.taps)
+        elif hasattr(s, "Mg"):
+            # HalfbandFIR: odd taps in Mg's first column (reversed), zeros
+            # at even offsets, center tap separate
+            T = s.ntaps
+            c = T // 2
+            taps = np.zeros(T)
+            taps[1::2] = np.asarray(s.Mg)[:c, 0][::-1]
+            taps[c] = float(s.center)
+            st.taps = taps
         else:
             T = s.ntaps
             st.taps = np.asarray(s.M)[:T, 0][::-1]

@@ -94,3 +94,27 @@ def test_retune_is_data_only(rng):
     _, ref = dsp.fir_stream(x[0].astype(np.complex128),
                             design.bandpass_analytic(201, 300., 800., fs))
     assert dsp.snr_db(ref, np.asarray(y)[0]) > 100
+
+
+def test_halfband_polyphase_matches_matmul(rng):
+    """HalfbandFIR (polyphase /2, zero taps skipped) vs MatmulFIR: the
+    same exact sum, so agreement to f32 roundoff; auto-selected by
+    make_fir for half-band tap sets."""
+    from quisk_tpu.ops.fir import HalfbandFIR, MatmulFIR
+
+    h = design.halfband(45)
+    assert HalfbandFIR.is_halfband(h)
+    assert not HalfbandFIR.is_halfband(design.decimator(5, 240000.0))
+    op = make_fir(h, B, decim=2)
+    assert isinstance(op, HalfbandFIR)
+    ref = MatmulFIR.create(h, B, 2)
+    x = _make_iq(rng, C, 4 * B)
+    ya = _run_blocks(op, x, 4)
+    yb = _run_blocks(ref, x, 4)
+    assert np.max(np.abs(ya - yb)) < 1e-5 * max(1.0, np.max(np.abs(yb)))
+    # real path too
+    opr = make_fir(h, B, decim=2, complex_state=False)
+    refr = MatmulFIR.create(h, B, 2, complex_state=False)
+    xr = rng.standard_normal((C, 4 * B)).astype(np.float32)
+    assert np.max(np.abs(_run_blocks(opr, xr, 4)
+                         - _run_blocks(refr, xr, 4))) < 1e-5
