@@ -162,7 +162,8 @@ class HangAGC:
                                  jnp.maximum(hang - 1, 0))
             return (lg_new, hang_new), lg_new
 
-        (lg_f, hang_f), lgs = jax.lax.scan(
+        from quisk_tpu.ops.scanutil import unrolled_scan
+        (lg_f, hang_f), lgs = unrolled_scan(
             step, (lg0, hang0), jnp.moveaxis(limit, 1, 0))
         lg = jnp.moveaxis(lgs, 0, 1)
         out = ext[:, : a.shape[-1]] * jnp.exp(lg)
@@ -313,7 +314,8 @@ class WcpAGC:
 
         carry0 = (st["volts"], st["save_volts"], st["fast_ba"], st["hang_ba"],
                   st["hang_counter"], st["state"], st["decay_type"])
-        carry, mults = jax.lax.scan(
+        from quisk_tpu.ops.scanutil import unrolled_scan
+        carry, mults = unrolled_scan(
             step, carry0,
             (jnp.moveaxis(ring_max, 1, 0), jnp.moveaxis(abs_out, 1, 0)))
         mult = jnp.moveaxis(mults, 0, 1)
@@ -403,7 +405,7 @@ class TxALC:
         magn_in = jnp.abs(x)
         g0 = jnp.sum(st["gain_now"] * onehot_mode, axis=-1)      # [C]
 
-        def step(carry, magn):
+        def sample_step(carry, magn):
             g, gc, fg, nc, cnt, flt, bi, idx = carry
 
             clip = magn * (g + gc * A) > self.target
@@ -441,7 +443,9 @@ class TxALC:
         carry0 = (g0, st["gain_change"],
                   st["final_gain"], st["next_change"], st["counter"],
                   st["fault"], st["block_index"], st["index"])
-        carry, gains = jax.lax.scan(step, carry0, jnp.moveaxis(magn_in, 1, 0))
+        from quisk_tpu.ops.scanutil import unrolled_scan
+        carry, gains = unrolled_scan(
+            sample_step, carry0, jnp.moveaxis(magn_in, 1, 0))
         out = out_raw * jnp.moveaxis(gains, 0, 1).astype(out_raw.dtype)
         new_st = dict(zip(("gain_now", "gain_change", "final_gain",
                            "next_change", "counter", "fault", "block_index",

@@ -185,15 +185,16 @@ class BlockLMS:
     sub: int = struct.field(pytree_node=False)
     notch: bool = struct.field(pytree_node=False)
     leak: float = struct.field(pytree_node=False)
+    fdaf: bool = struct.field(pytree_node=False, default=True)
 
     @classmethod
     def create(cls, block: int, taps: int = 256, delay: int = 16,
                mu: float = 2.0, notch: bool = True, leak: float = 1e-5,
-               sub: int = 128):
+               sub: int = 128, fdaf: bool = True):
         if block % sub:
             raise ValueError("block must be a multiple of sub")
         return cls(mu=jnp.float32(mu), taps=taps, delay=delay, block=block,
-                   sub=sub, notch=notch, leak=leak)
+                   sub=sub, notch=notch, leak=leak, fdaf=fdaf)
 
     def init_state(self, channels: int):
         hist = self.taps + self.delay - 1
@@ -201,6 +202,8 @@ class BlockLMS:
                 jnp.zeros((channels, hist), jnp.float32))
 
     def __call__(self, state, a: jnp.ndarray):
+        if self.fdaf:
+            return self._call_fdaf(state, a)
         w0, tail = state
         C = a.shape[0]
         hist = self.taps + self.delay - 1
@@ -225,6 +228,46 @@ class BlockLMS:
             power = self.taps * jnp.mean(ext ** 2, axis=-1) + 1e-8
             grad = jnp.einsum("ci,cik->ck", err, win,
                               precision=jax.lax.Precision.HIGHEST) / self.sub
+            w = (1.0 - self.leak) * w + self.mu * grad / power[:, None]
+            out = err if self.notch else pred
+            return (w, ext[:, ext.shape[-1] - hist:]), out
+
+        (w, tail), outs = jax.lax.scan(step, (w0, tail),
+                                       jnp.moveaxis(subs, 1, 0))
+        out = jnp.moveaxis(outs, 0, 1).reshape(C, self.block)
+        return (w, tail), out
+
+    def _call_fdaf(self, state, a: jnp.ndarray):
+        """Frequency-domain block LMS (overlap-save FDAF) — the SAME update
+        as the time-domain path (exact linear correlation, no circular
+        leakage: segment + zero-padding lengths chosen so no wraparound),
+        but prediction and gradient run as rFFT products instead of
+        materializing [C, sub, taps] window matrices, which are ~`taps`x
+        redundant HBM traffic.  Classic fast-block-LMS structure
+        (Shynk 1992); gradient constrained to `taps` coefficients by the
+        z[:taps] slice."""
+        w0, tail = state
+        C = a.shape[0]
+        hist = self.taps + self.delay - 1
+        nsub = self.block // self.sub
+        P = self.taps + self.sub - 1          # prediction input segment
+        N = 1 << (P - 1).bit_length()
+        subs = a.reshape(C, nsub, self.sub)
+
+        def step(carry, blk):
+            w, tl = carry
+            ext = jnp.concatenate([tl, blk], axis=-1)      # [C, hist+sub]
+            s = ext[:, :P]                                  # u[n], delay kept
+            S = jnp.fft.rfft(s, n=N, axis=-1)
+            Wf = jnp.fft.rfft(w, n=N, axis=-1)
+            pred = jnp.fft.irfft(S * Wf, n=N, axis=-1)[
+                :, self.taps - 1: self.taps - 1 + self.sub]
+            err = blk - pred
+            E = jnp.fft.rfft(err, n=N, axis=-1)
+            # z[n] = sum_m s[m+n] err[m]  (linear: P-1 + sub-1 < N)
+            z = jnp.fft.irfft(S * jnp.conj(E), n=N, axis=-1)
+            grad = z[:, : self.taps][:, ::-1] / self.sub
+            power = self.taps * jnp.mean(ext ** 2, axis=-1) + 1e-8
             w = (1.0 - self.leak) * w + self.mu * grad / power[:, None]
             out = err if self.notch else pred
             return (w, ext[:, ext.shape[-1] - hist:]), out
@@ -281,6 +324,7 @@ class SyncAMDemod:
             dc = self.dc_pole * dc + (1.0 - self.dc_pole) * audio
             return (ph, fr, dc), audio - dc
 
-        (ph, fr, dc), ys = jax.lax.scan(
+        from quisk_tpu.ops.scanutil import unrolled_scan
+        (ph, fr, dc), ys = unrolled_scan(
             step, (phase0, freq0, dc0), jnp.moveaxis(x, 1, 0))
         return (ph, fr, dc), jnp.moveaxis(ys, 0, 1)

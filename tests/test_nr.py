@@ -95,3 +95,22 @@ def test_sync_am_locks_and_demodulates():
     seg = slice(8 * B, 16 * B)
     snr = dsp.frac_align_snr(audio[seg], y[seg], max_lag=64)
     assert snr > 20, snr
+
+
+def test_blocklms_fdaf_matches_time_domain():
+    """The frequency-domain (overlap-save FDAF) path is the SAME update as
+    the time-domain window-matmul path — agreement to f32 roundoff."""
+    rng = np.random.default_rng(3)
+    C = 3
+    x = (rng.standard_normal((C, 6 * B)).astype(np.float32)
+         + 1.5 * np.sin(2 * np.pi * 1500 / FS * np.arange(6 * B)
+                        ).astype(np.float32))
+    for sub in (128, 512):
+        td = BlockLMS.create(B, notch=True, sub=sub, fdaf=False)
+        fd = BlockLMS.create(B, notch=True, sub=sub, fdaf=True)
+        st_t, st_f = td.init_state(C), fd.init_state(C)
+        for i in range(6):
+            blk = x[:, i * B:(i + 1) * B]
+            st_t, yt = td(st_t, blk)
+            st_f, yf = fd(st_f, blk)
+            assert np.max(np.abs(np.asarray(yt) - np.asarray(yf))) < 1e-4
