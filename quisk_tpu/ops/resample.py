@@ -56,22 +56,53 @@ class HalfbandDecim2:
 
 @struct.dataclass
 class Interpolator:
-    """Integer upsampler: zero-stuff by L then image-reject FIR, fused into a
-    single transposed conv (``lhs_dilation=L``) so no zeros are materialised.
+    """Integer upsampler: zero-stuff by L then image-reject FIR, executed
+    as ONE polyphase banded-Toeplitz matmul on the MXU.
+
+    Each output phase p is an independent FIR of the *input-rate* signal
+    with the tap subset h[p::L]; all L phases share one overlapping-patch
+    extraction, so the whole upsample is patches [C, nblk, R+S] x
+    M [R+S, R*L] with column r*L+p carrying phase p's (reversed) taps at
+    row offset r — a row-major reshape of the product interleaves the
+    phases back into time order.  (The previous formulation — feature-1
+    ``conv_general_dilated`` with ``lhs_dilation=L`` — never reaches the
+    MXU and dominated the TX chain on TPU; CLAUDE.md "Performance facts".)
+    Output identical to the dilated conv up to f32 dot reassociation.
     """
 
-    taps: jnp.ndarray
+    M: jnp.ndarray                 # [R+S, R*L] banded polyphase matrix
     interp: int = struct.field(pytree_node=False)
     ntaps: int = struct.field(pytree_node=False)
     block: int = struct.field(pytree_node=False)
+    R: int = struct.field(pytree_node=False)
     complex_state: bool = struct.field(pytree_node=False, default=True)
 
     @classmethod
     def create(cls, interp: int, block: int, fs_out: float,
                atten_db: float = 90.0, complex_state: bool = True):
         taps = design.interpolator(interp, fs_out, atten_db)
-        return cls(taps=jnp.asarray(taps, jnp.float32), interp=interp,
-                   ntaps=len(taps), block=block, complex_state=complex_state)
+        T, L = len(taps), interp
+        S = -(-(T - 2) // L) + 1                       # history span
+        R = 128
+        while block % R:
+            R //= 2
+        Td = S + 1                                     # phase-kernel reach
+        hpad = np.zeros(T + 2 * L, np.float64)
+        hpad[:T] = taps
+        M = np.zeros((R + S, R * L), np.float32)
+        # y[(iR+r)L+p] = sum_d h[L(Td-2-d) + p+1] * patch[r + d], where
+        # patch[k] = xe[iR + k] (derived from the dilated-conv alignment:
+        # output m of the B*L tail slice reads xe[(m + (S-1)L + 1 + T-1 -
+        # j)/L] for j = m mod ... — the band below reproduces it exactly,
+        # verified against the conv formulation to f32 roundoff)
+        for p in range(L):
+            for d in range(Td):
+                j = L * (Td - 2 - d) + p + 1
+                if 0 <= j < T:
+                    for r in range(R):
+                        M[r + d, r * L + p] = hpad[j]
+        return cls(M=jnp.asarray(M), interp=interp, ntaps=T, block=block,
+                   R=R, complex_state=complex_state)
 
     @property
     def _span(self) -> int:
@@ -84,33 +115,33 @@ class Interpolator:
             return np.zeros((channels, self._span), np.complex64)  # boundary
         return jnp.zeros((channels, self._span), dtype=jnp.float32)
 
-    def _conv_up(self, xe: jnp.ndarray) -> jnp.ndarray:
-        h = self.taps[::-1][None, None, :]
+    def _matmul_up(self, xe: jnp.ndarray, B: int) -> jnp.ndarray:
+        from quisk_tpu.ops import precision as _prec
+        S = self._span
+        R = self.R
+        nblk = B // R
+        idx = (jnp.arange(nblk) * R)[:, None] + jnp.arange(R + S)[None, :]
+
+        def go(lhs):
+            patches = lhs[:, idx]                     # [*, nblk, R+S]
+            y = jax.lax.dot_general(
+                patches, self.M, (((2,), (0,)), ((), ())),
+                precision=_prec.DECIM_DOT,
+                preferred_element_type=jnp.float32)   # [*, nblk, R*L]
+            return y.reshape(lhs.shape[0], -1)
+
         if jnp.iscomplexobj(xe):
             c = xe.shape[0]
-            lhs = jnp.concatenate([jnp.real(xe), jnp.imag(xe)], axis=0)
-            lhs = lhs.astype(jnp.float32)[:, None, :]
-            out = jax.lax.conv_general_dilated(
-                lhs, h, window_strides=(1,), padding=[(0, 0)],
-                lhs_dilation=(self.interp,),
-                dimension_numbers=("NCH", "OIH", "NCH"),
-            precision=jax.lax.Precision.HIGHEST)[:, 0, :]
+            lhs = jnp.concatenate(
+                [jnp.real(xe), jnp.imag(xe)], axis=0).astype(jnp.float32)
+            out = go(lhs)
             return jax.lax.complex(out[:c], out[c:])
-        out = jax.lax.conv_general_dilated(
-            xe.astype(jnp.float32)[:, None, :], h, window_strides=(1,),
-            padding=[(0, 0)], lhs_dilation=(self.interp,),
-            dimension_numbers=("NCH", "OIH", "NCH"),
-            precision=jax.lax.Precision.HIGHEST)
-        return out[:, 0, :]
+        return go(xe.astype(jnp.float32))
 
     def __call__(self, hist, x):
         """x [C, B] -> y [C, B*interp]."""
         xe = jnp.concatenate([hist, x], axis=-1)
-        y_full = self._conv_up(xe)
-        # dilated length = (len(xe)-1)*L + 1; VALID conv gives that - T + 1
-        # outputs.  We want exactly B*L outputs ending at the last input.
-        want = x.shape[-1] * self.interp
-        y = y_full[..., y_full.shape[-1] - want:]
+        y = self._matmul_up(xe, x.shape[-1])
         return xe[..., xe.shape[-1] - self._span:], y
 
 
