@@ -94,17 +94,23 @@ def _build_flagship():
 
 
 def bench_flagship(iters: int = 50, latency: bool = False,
-                   nblk: int = 1) -> dict:
+                   nblk: int | None = None) -> dict:
+    """nblk=None measures BOTH 1 and 4 blocks/dispatch and reports the
+    best: on a quiet tunnel the async dispatch pipeline already overlaps
+    the ~3.6 ms floor and nblk=1 schedules slightly better (4308 vs 3986
+    Msps), but under external contention the runtime serializes round
+    trips (~14-70 ms/dispatch) and batching 4 blocks per dispatch
+    amortizes exactly that."""
+    if nblk is None:
+        a = bench_flagship(iters, latency, nblk=1)
+        b = bench_flagship(max(8, iters // 4), latency, nblk=4)
+        return a if a["value"] >= b["value"] else b
     # No complex64 may cross the host<->device boundary on the axon TPU
     # runtime: chain/state/input are packed into (re, im) float32 pairs and
     # rebuilt with lax.complex inside jit (quisk_tpu.utils.boundary).
     from quisk_tpu.utils.boundary import make_boundary_step, pack_tree
 
     chain, x = _build_flagship()
-    # nblk > 1 batches blocks per dispatch (step_blocks, Python-unrolled).
-    # Measured: the async dispatch pipeline already overlaps the ~3.6 ms
-    # per-dispatch floor, and the unrolled program schedules slightly
-    # worse (nblk=4: 3986 Msps vs nblk=1: 4308), so the default is 1.
     xs = np.concatenate([x] * nblk, axis=-1)
     step = make_boundary_step(
         (lambda ch, st, xx: ch.step(st, xx)) if nblk == 1
@@ -257,7 +263,10 @@ def bench_pfb(iters: int = 20) -> dict:
 
     K = 4096
     S = 1                     # wideband streams
-    B = K * 32                # input samples per dispatch
+    B = K * 1024              # input samples per dispatch: K*32 and K*64
+                              # measured dispatch-floor-bound (~11-14 ms
+                              # regardless); at K*1024 the channelizer
+                              # compute finally dominates the dispatch
     pfb = OversampledPFB.create(K, B, taps_per_branch=8)
     modes = [int(Mode.USB), int(Mode.LSB), int(Mode.AM), int(Mode.FM)]
     demod = MixedDemod.create([modes[i % 4] for i in range(K)],
@@ -339,7 +348,9 @@ def bench_tx(iters: int = 20) -> dict:
     from quisk_tpu.utils.boundary import make_boundary_step, pack_tree
     from quisk_tpu.io import sources
 
-    C, B = 256, 2048
+    C, B = 1024, 2048         # r01 ran 256 ch in ~29 ms/block — the ALC
+                              # scans are time-axis loops with channels on
+                              # the vector lanes, so widen the batch
     modes = [int(Mode.USB), int(Mode.FM)]
     tx = TxChain.create(
         TxChainConfig(channels=C, audio_block=B, tx_rate=192000.0,
@@ -356,7 +367,7 @@ def bench_tx(iters: int = 20) -> dict:
     msps_out = C * tx.block_tx / dt / 1e6
     # reference contract: one 48 k mic channel real-time (microphone.c:1092)
     return {
-        "metric": "TX chain 256ch voice->SSB/FM IQ @192k (bandpass+preemph+compress+ALC+mod+interp)",
+        "metric": f"TX chain {C}ch voice->SSB/FM IQ @192k (bandpass+preemph+compress+ALC+mod+interp)",
         "value": round(msps_out, 1), "unit": "Msps output",
         "vs_baseline": round(msps_out * 1e6 / (0.192e6), 1),
         "ms_per_block": round(dt * 1e3, 2),
@@ -369,8 +380,9 @@ def main():
                     help="also bench stages/PFB/TX and write BENCH_DETAIL.md")
     ap.add_argument("--iters", type=int, default=50,
                     help="timed iterations (reduce for CPU smoke tests)")
-    ap.add_argument("--nblk", type=int, default=1,
-                    help="blocks per dispatch in the flagship loop")
+    ap.add_argument("--nblk", type=int, default=None,
+                    help="blocks per dispatch in the flagship loop "
+                         "(default: measure 1 and 4, report the best)")
     args = ap.parse_args()
 
     flag = bench_flagship(iters=args.iters, latency=args.all,

@@ -92,7 +92,13 @@ class FMDemod:
     def discriminate(self, prev: jnp.ndarray, x: jnp.ndarray):
         xm1 = jnp.concatenate([prev[:, None], x[:, :-1]], axis=-1)
         d = x * jnp.conj(xm1)
-        disc = jnp.arctan2(jnp.imag(d), jnp.real(d))
+        # Gate vanishing magnitudes (filter warmup, dead air): the angle of
+        # a ~1e-7 residual is pure numerical noise whose SIGN flips with
+        # one-ULP kernel-fusion differences (+/-pi jumps) — emit 0 there so
+        # the discriminator is deterministic across eager/jit/sharded
+        # executions.  Real signals sit many orders above the gate.
+        disc = jnp.where(jnp.abs(d) > 1e-12,
+                         jnp.arctan2(jnp.imag(d), jnp.real(d)), 0.0)
         return x[:, -1], disc
 
     def __call__(self, state, x: jnp.ndarray):
@@ -162,8 +168,9 @@ class PLLFMDemod:
                            jnp.where(ph < -np.pi, ph + 2 * np.pi, ph))
             return (ph, fr), fr + self.alpha * err   # inst. freq estimate
 
-        (ph, fr), w = jax.lax.scan(step, (phase0, freq0),
-                                   jnp.moveaxis(x, 1, 0))
+        from quisk_tpu.ops.scanutil import unrolled_scan
+        (ph, fr), w = unrolled_scan(step, (phase0, freq0),
+                                    jnp.moveaxis(x, 1, 0))
         audio = jnp.moveaxis(w, 0, 1) * self.gain
         de0, audio = self.deemph(de0, audio)
         if self.notch is not None:

@@ -83,7 +83,11 @@ class NoiseBlanker:
 
     def __call__(self, hist, x: jnp.ndarray):
         B = x.shape[-1]
-        R = 128
+        # Patch redundancy is (R+K-1)/R, and the widening kernel K is ~1000
+        # taps at wideband rates: R=128 materializes 8.5x the input in
+        # patches (~1.4 GB/block at 1024ch) while R=1024 pays only 1.94x —
+        # the op is HBM-bound on exactly that traffic.
+        R = 1024
         while B % R:
             R //= 2
         # both tap sets derive from static ints -> compile-time constants
