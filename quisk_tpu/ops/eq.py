@@ -143,8 +143,10 @@ class CFCompressor:
         H = self.fft // 2
         nfrm = a.shape[-1] // H
         ext = jnp.concatenate([in_tail, a], axis=-1)
-        idx = (jnp.arange(nfrm) * H)[:, None] + jnp.arange(self.fft)[None, :]
-        frames = ext[:, idx] * self.window
+        # 50%-overlap frames as a view stack (no gather; see ops/nr.py)
+        tiles = ext.reshape(C, nfrm + 1, H)
+        frames = jnp.concatenate([tiles[:, :-1], tiles[:, 1:]],
+                                 axis=-1) * self.window
         X = jnp.fft.rfft(frames, axis=-1)
         S2 = jnp.abs(X) ** 2
         # moving max over +-2 bins: a tone's whole spectral footprint (the
@@ -171,8 +173,10 @@ class CFCompressor:
         g = 10.0 ** (jnp.moveaxis(gains_db, 0, 1) / 20.0)
         y = jnp.fft.irfft(X * g.astype(X.dtype), n=self.fft,
                           axis=-1) * self.window
-        out = jnp.zeros((C, (nfrm + 1) * H), jnp.float32)
-        out = out.at[:, idx].add(y)
-        out = out.at[:, :H].add(out_tail)
+        # overlap-add via shifted half-frame views (no scatter)
+        out_tiles = (jnp.pad(y[:, :, :H], ((0, 0), (0, 1), (0, 0)))
+                     + jnp.pad(y[:, :, H:], ((0, 0), (1, 0), (0, 0))))
+        out_tiles = out_tiles.at[:, 0].add(out_tail)
+        out = out_tiles.reshape(C, (nfrm + 1) * H)
         return ((ext[:, ext.shape[-1] - H:], out[:, nfrm * H:(nfrm + 1) * H],
                  level_db), out[:, : nfrm * H])
