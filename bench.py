@@ -340,6 +340,40 @@ def bench_featured(iters: int = 20) -> dict:
     }
 
 
+# ----------------------------------------------------------------- NFM
+def bench_nfm(iters: int = 20) -> dict:
+    """BASELINE config #3: the 192 k NFM chain (FM discriminator +
+    de-emphasis + FM squelch), 1024 channels."""
+    from quisk_tpu.modes import Mode
+    from quisk_tpu.rx import RxChain, RxChainConfig
+    from quisk_tpu.utils.boundary import make_boundary_step, pack_tree
+
+    C = 1024
+    FS = 192000.0
+    cfg = RxChainConfig(sample_rate=FS, channels=C, audio_block=2048,
+                        agc=True, fm_squelch=True)
+    chain = RxChain.create(
+        cfg, tune_hz=[(-FS / 4 + (i + 0.5) * FS / (2 * C)) for i in range(C)],
+        mode=int(Mode.FM))
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal((C, chain.block_in))
+         + 1j * rng.standard_normal((C, chain.block_in))).astype(np.complex64)
+    step = make_boundary_step(lambda ch, st, xx: ch.step(st, xx))
+    pchain = jax.device_put(pack_tree(chain))
+    pstate = jax.device_put(pack_tree(chain.init_state()))
+    px = jax.device_put(pack_tree(x))
+    cur, audio = step(pchain, pstate, px)
+    _sync(audio)
+    dt = _timed_best(lambda st: step(pchain, st, px), pstate, iters)
+    msps = C * chain.block_in / dt / 1e6
+    return {
+        "metric": "NFM chain 1024ch @192k (discriminator+deemph+FM squelch, BASELINE config 3)",
+        "value": round(msps, 1), "unit": "Msps",
+        "vs_baseline": round(msps / BASELINE_MSPS, 1),
+        "ms_per_block": round(dt * 1e3, 2),
+    }
+
+
 # ------------------------------------------------------------------ TX
 def bench_tx(iters: int = 20) -> dict:
     """TX chain: voice -> SSB/FM modulated IQ at 192 k, 256 channels."""
@@ -395,9 +429,10 @@ def main():
     it = max(3, args.iters // 2)
     stages = bench_stages(iters=it)
     feat = bench_featured(iters=it)
+    nfm = bench_nfm(iters=it)
     pfb = bench_pfb(iters=it)
     tx = bench_tx(iters=it)
-    for extra in (feat, pfb, tx):
+    for extra in (feat, nfm, pfb, tx):
         print(json.dumps(extra))
 
     lines = ["# BENCH_DETAIL — per-stage profile and roofline",
@@ -434,6 +469,8 @@ def main():
               "## Other configs", "",
               f"- {feat['metric']}: {feat['value']} {feat['unit']} "
               f"({feat['ms_per_block']} ms/block)",
+              f"- {nfm['metric']}: {nfm['value']} {nfm['unit']} "
+              f"({nfm['ms_per_block']} ms/block)",
               f"- {pfb['metric']}: {pfb['value']} {pfb['unit']} "
               f"({pfb['ms_per_block']} ms/block)",
               f"- {tx['metric']}: {tx['value']} {tx['unit']} "
