@@ -189,7 +189,8 @@ class SimulatedPA:
         y = x * (1.0 + self.g3 * e2 + self.g5 * e2 ** 2)
         y = y * np.exp(1j * self.ampm * e2)
         mag = np.abs(y)
-        y = np.where(mag > self.sat, y * self.sat / mag, y)  # hard limit
+        y = np.where(mag > self.sat,
+                     y * self.sat / np.maximum(mag, 1e-30), y)  # hard limit
         return y.astype(np.complex64)
 
 
