@@ -177,3 +177,35 @@ def test_step_blocks_matches_sequential_steps():
     for la, lb in zip(jax.tree.leaves(st_a), jax.tree.leaves(st_b)):
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
                                    rtol=0, atol=1e-6)
+
+
+@pytest.mark.parametrize("fs", [53000., 111111., 133333., 185185.,
+                                370370., 740740., 1333333.])
+def test_chain_runs_at_sdriq_rates(fs):
+    """End-to-end smoke at the reference's SDR-IQ family rates
+    (quisk.c:1731-1768 hardcoded chains; here the planner generalizes):
+    a USB tone 1 kHz above the tune lands at 1 kHz in the audio."""
+    import jax.numpy as jnp
+
+    cfg = RxChainConfig(sample_rate=fs, channels=1, agc=False,
+                        audio_block=512)
+    tune = fs / 8.0
+    chain = RxChain.create(cfg, tune_hz=tune, mode=int(Mode.USB))
+    n = 6 * chain.block_in
+    t = np.arange(n) / fs
+    iq = np.exp(2j * np.pi * (tune + 1000.0) * t).astype(np.complex64)
+    st = chain.init_state()
+    outs = []
+    nblk = n // chain.block_in
+    for i in range(nblk):
+        st, a = chain.step(st, jnp.asarray(
+            iq[None, i * chain.block_in:(i + 1) * chain.block_in]))
+        outs.append(np.asarray(a))
+    audio = np.concatenate(outs, axis=-1)[0]
+    seg = audio[len(audio) // 2:]
+    F = np.fft.rfftfreq(len(seg), 1.0 / chain.fs_audio)
+    P = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+    pk = F[np.argmax(P)]
+    assert abs(pk - 1000.0) < 30.0, (fs, pk)
+    # the tone dominates: peak at least 20 dB over the median bin
+    assert P.max() > 100 * np.median(P), fs
