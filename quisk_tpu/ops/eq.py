@@ -168,8 +168,9 @@ class CFCompressor:
             gain_db = jnp.where(lev < self.target_db - 40.0, 0.0, gain_db)
             return lev, gain_db
 
-        level_db, gains_db = jax.lax.scan(
-            frame_step, level_db, jnp.moveaxis(inst_db, 1, 0))
+        from quisk_tpu.ops.scanutil import unrolled_scan
+        level_db, gains_db = unrolled_scan(
+            frame_step, level_db, jnp.moveaxis(inst_db, 1, 0), unroll=8)
         g = 10.0 ** (jnp.moveaxis(gains_db, 0, 1) / 20.0)
         y = jnp.fft.irfft(X * g.astype(X.dtype), n=self.fft,
                           axis=-1) * self.window

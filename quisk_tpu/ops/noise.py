@@ -179,7 +179,9 @@ class SpectralNoiseBlanker:
             bg = jnp.where(bad > 0, bg, bg + rate * (p - bg))
             return bg, bad
 
-        bg, badf = jax.lax.scan(frame_step, bg, jnp.moveaxis(pw, 1, 0))
+        from quisk_tpu.ops.scanutil import unrolled_scan
+        bg, badf = unrolled_scan(frame_step, bg, jnp.moveaxis(pw, 1, 0),
+                                 unroll=8)
         badf = jnp.moveaxis(badf, 0, 1)               # [C, nfrm]
         # dilate one frame each way: a hit's window-attenuated half in the
         # neighbouring frame is blanked even when under threshold (the
@@ -199,7 +201,7 @@ class SpectralNoiseBlanker:
             cim = jnp.where(d[:, None] > 0, cim, xim)
             return (cre, cim), (yre, yim)
 
-        (clean_re, clean_im), (yre, yim) = jax.lax.scan(
+        (clean_re, clean_im), (yre, yim) = unrolled_scan(
             subst_step, (clean_re, clean_im),
             (jnp.moveaxis(jnp.real(X), 1, 0), jnp.moveaxis(jnp.imag(X), 1, 0),
              jnp.moveaxis(dil, 1, 0)))
