@@ -45,6 +45,12 @@ class RadioConfig:
     fm_deviation_hz: float = 2500.0
     cw_pitch: float = 600.0
     filter_taps: int = 1025
+    # raw-IQ conditioning (rx/frontend.py): DC removal bandwidth in Hz
+    # (0 off, 1 window-average, >1 Lyons highpass — sound.c:188), spectrum
+    # inversion (quisk.c:2442), and the I/Q balance trim slot (sound.c:171)
+    dc_remove_bw: int = 0
+    invert_spectrum: bool = False
+    front_cond: bool = False          # force the conditioner on (for trims)
     # display
     fft_size: int = 2048
     graph_refresh_hz: float = 7.0     # quisk_conf_defaults.py:1794
@@ -69,7 +75,9 @@ class RadioConfig:
             fm_deviation_hz=self.fm_deviation_hz, cw_pitch=self.cw_pitch,
             noise_blanker=self.noise_blanker, auto_notch=self.auto_notch,
             nr=self.nr, anf=self.anf, squelch=self.squelch,
-            squelch_threshold=self.squelch_threshold)
+            squelch_threshold=self.squelch_threshold,
+            front_cond=(self.front_cond or self.invert_spectrum),
+            dc_remove_bw=self.dc_remove_bw)
 
     def to_json(self) -> dict[str, Any]:
         return dataclasses.asdict(self)
@@ -92,6 +100,8 @@ class RadioConfig:
             agc_release_db_per_s=60.0 / max(flags.agc_release_time, 1e-3),
             cw_pitch=float(flags.cwTone),
             graph_refresh_hz=float(flags.graph_refresh),
+            dc_remove_bw=int(flags.dc_remove_bw),
+            invert_spectrum=bool(flags.invertSpectrum),
         )
 
 

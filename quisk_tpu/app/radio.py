@@ -17,6 +17,8 @@ mode/PTT changes from WSJT-X retune the running chain between blocks.
 
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 
 from quisk_tpu.app.config import RadioConfig, Settings
@@ -64,9 +66,22 @@ class Radio:
         self.channel_modes = [cfg.mode] * C
         self.routes = ["both"] + ["off"] * (C - 1)
         self._digital_out: dict[int, np.ndarray] = {}
+        # hardware plugins may demand spectrum inversion (e.g. the
+        # SDR-8600 IF flips 2 m / 70 cm — hw/sdr8600.py, QS.invert_spectrum)
+        self.invert = bool(cfg.invert_spectrum
+                           or getattr(self.hw, "invert_spectrum", False))
+        if self.invert and not self.rx_cfg.front_cond:
+            self.rx_cfg = dataclasses.replace(self.rx_cfg, front_cond=True)
+        self.ampl_phase = (0.0, 0.0)     # current I/Q balance trim
         self.chain = RxChain.create(self.rx_cfg, tune_hz=self.offsets,
                                     mode=[int(Mode[m])
                                           for m in self.channel_modes])
+        if self.chain.cond is not None:
+            saved = (settings.get_state().get("ampl_phase")
+                     if settings is not None else None) or self.ampl_phase
+            self.ampl_phase = tuple(saved)
+            self.chain = self.chain.replace(cond=self.chain.cond.with_balance(
+                self.ampl_phase[0], self.ampl_phase[1], invert=self.invert))
         self.cfg.tune_hz = offset
         self.graph = GraphService(fft_size=cfg.fft_size,
                                   block=self.chain.block_in,
@@ -234,6 +249,7 @@ class Radio:
             self.chain = RxChain.create(self.rx_cfg, tune_hz=self.offsets,
                                         mode=modes)
             self._pstate = pack_tree(self.chain.init_state())
+            self._apply_trim()
             if notches is not None:
                 self.chain = self.chain.retune(self.rx_cfg, mode=modes,
                                                notches_hz=notches)
@@ -241,6 +257,26 @@ class Radio:
             self.chain = self.chain.retune(self.rx_cfg, tune_hz=self.offsets,
                                            mode=modes, notches_hz=notches)
         self._dirty = True
+
+    def _apply_trim(self) -> None:
+        if self.chain.cond is not None:
+            self.chain = self.chain.replace(
+                cond=self.chain.cond.with_balance(
+                    self.ampl_phase[0], self.ampl_phase[1],
+                    invert=self.invert))
+
+    def set_ampl_phase(self, ampl: float, phase_deg: float) -> None:
+        """Set the RX I/Q balance trim (parity quisk_set_ampl_phase,
+        sound.c:1560-1581; the GUI's per-band amplitude/phase adjust).
+        Data-only — no recompile; persisted via Settings like the
+        reference's bandAmplPhase database (quisk.py:3826)."""
+        if self.chain.cond is None:
+            raise ValueError("enable cfg.front_cond to use the balance trim")
+        self.ampl_phase = (float(ampl), float(phase_deg))
+        self._apply_trim()
+        self._dirty = True
+        if self.settings is not None:
+            self.settings.update_state(ampl_phase=list(self.ampl_phase))
 
     # ---- manual notches (wdsp/nbp.c notch-bank bandpass) ----------------
     def add_notch(self, freq_hz: float, width_hz: float = 100.0) -> None:

@@ -186,3 +186,47 @@ class Preemphasis:
         xm1 = jnp.concatenate([x_prev[:, None], x[:, :-1]], axis=-1)
         c = self.c if self.c.ndim == 0 else self.c[:, None]
         return x[:, -1], x - c * xm1
+
+
+@struct.dataclass
+class PhaseRotator:
+    """Cascaded first-order allpass phase rotator (wdsp/iir.c:557-640).
+
+    The WDSP TX graph runs ``nstages`` (default 8) identical allpass
+    sections ``y[n] = b0*x[n] + x[n-1] - b0*y[n-1]`` with
+    ``b0 = (g-1)/(g+1), g = tan(pi*fc/fs)`` (calc_phrot, iir.c:557-568;
+    TXA default fc=338 Hz, 8 stages, TXA.c:71-78) on the real mic audio
+    to disperse speech phase and lower the peak-to-average ratio before
+    compression.  Each section is the first-order recurrence
+    ``y[n] = (-b0)*y[n-1] + w[n]`` with ``w[n] = b0*x[n] + x[n-1]``, so
+    the block is nstages sequential associative scans (O(nstages log B)
+    depth), channels on the vector lanes.
+
+    State: (x1, y1) each [nstages, C] — the per-stage trailing samples.
+    """
+
+    nstages: int = struct.field(pytree_node=False)
+    b0: jnp.ndarray
+
+    @classmethod
+    def create(cls, fc_hz: float = 338.0, fs: float = 48000.0,
+               nstages: int = 8, dtype=jnp.float32):
+        g = float(np.tan(np.pi * fc_hz / fs))
+        return cls(nstages=int(nstages),
+                   b0=jnp.asarray((g - 1.0) / (g + 1.0), dtype))
+
+    def init_state(self, channels: int, dtype=jnp.float32):
+        z = jnp.zeros((self.nstages, channels), dtype=dtype)
+        return z, z
+
+    def __call__(self, state, x: jnp.ndarray):
+        x1, y1 = state
+        nx1, ny1 = [], []
+        for n in range(self.nstages):
+            w = self.b0 * x + jnp.concatenate(
+                [x1[n][:, None], x[:, :-1]], axis=-1)
+            y = _first_order_scan(w, -self.b0, 1.0, y1[n])
+            nx1.append(x[:, -1])
+            ny1.append(y[:, -1])
+            x = y
+        return (jnp.stack(nx1), jnp.stack(ny1)), x

@@ -93,6 +93,13 @@ class RxChainConfig:
     # fuse NCO mix + first decimation stage into one Pallas kernel
     # (needs channels % 128 == 0 and a real-tap decim-2+ first stage)
     fused_frontend: bool = False
+    # raw-IQ conditioning (rx/frontend.py): one-sample rail delay + I/Q
+    # balance trim + spectrum inversion (sound.c:143-186, quisk.c:2442)
+    # and DC removal (sound.c:188-253; 0 off, 1 window-average, >1 the
+    # Lyons highpass at that bandwidth).  The trim itself is chain DATA
+    # (cond.with_balance); these flags fix the compiled graph.
+    front_cond: bool = False
+    dc_remove_bw: int = 0
 
 
 @struct.dataclass
@@ -100,6 +107,7 @@ class RxChain:
     """The jit-able chain. Build with :meth:`create`; tunables are data."""
 
     nco: NCO
+    cond: "object"                        # FrontConditioner | None, raw IQ
     front: "object"                       # FusedTuneDecimate | None
     stages: tuple                         # ConvFIR decimator stages
     bp: OverlapSaveFIR                    # per-channel analytic bandpass
@@ -188,6 +196,11 @@ class RxChain:
             agc = AGC.create(plan.fs_out)
         nb = (NoiseBlanker.create(config.sample_rate, config.noise_blanker)
               if config.noise_blanker else None)
+        cond = None
+        if config.front_cond or config.dc_remove_bw > 0:
+            from quisk_tpu.rx.frontend import FrontConditioner
+            cond = FrontConditioner.create(C, config.sample_rate,
+                                           dc_bw=config.dc_remove_bw)
         notch = AutoNotch.create(B_audio) if config.auto_notch else None
         nr = None
         if config.nr:
@@ -203,7 +216,8 @@ class RxChain:
         fm_sq = (FMSquelch.create(plan.fs_out, B_audio,
                                   config.fm_squelch_db)
                  if config.fm_squelch else None)
-        return cls(nco=nco, front=front, stages=tuple(stages), bp=bp,
+        return cls(nco=nco, cond=cond, front=front, stages=tuple(stages),
+                   bp=bp,
                    frac=frac, demod=demod, agc=agc, nb=nb, notch=notch,
                    nr=nr, anf=anf, squelch=squelch, fm_sq=fm_sq,
                    tune_base=jnp.asarray(base, jnp.float32), channels=C,
@@ -288,6 +302,7 @@ class RxChain:
 
         return {
             "nco": self.nco.init_state(C) if self.front is None else (),
+            "cond": st(self.cond),
             "front": st(self.front),
             "stages": tuple(s.init_state(C) for s in self.stages),
             "bp": self.bp.init_state(C),
@@ -303,14 +318,19 @@ class RxChain:
         }
 
     # ----------------------------------------------------------------- step
-    def step(self, state, x: jnp.ndarray):
+    def step(self, state, x: jnp.ndarray, key_down=False):
         """One block: x [C, block_in] complex IQ -> audio [C, block_audio].
 
-        Stage order mirrors the reference RX path (quisk.c:2289): blanker
-        on raw IQ, tune, decimate, channel filter, demodulate, then the
-        audio processors (notch/ANF/NR before AGC, squelch muting last).
+        Stage order mirrors the reference RX path (quisk.c:2289): raw-IQ
+        conditioning first (sound.c capture path: rail delay, I/Q balance,
+        DC removal, inversion), blanker on raw IQ, tune, decimate, channel
+        filter, demodulate, then the audio processors (notch/ANF/NR before
+        AGC, squelch muting last).  ``key_down`` gates the window-average
+        DC mode (sound.c:221-229).
         """
         st = dict(state)
+        if self.cond is not None:
+            st["cond"], x = self.cond(st["cond"], x, key_down=key_down)
         if self.nb is not None:
             st["nb"], x = self.nb(st["nb"], x)
         if self.front is not None:

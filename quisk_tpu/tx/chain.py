@@ -51,11 +51,13 @@ class TxChainConfig:
     am_carrier: float = 0.5             # carrier fraction (ref: (x+CLIP16)/2)
     cessb: bool = False                 # CESSB overshoot control (osctrl.c)
     predistort: bool = False            # PureSignal correction slot (iqc.c)
+    phase_rotator: bool = False         # WDSP phrot (iir.c:557, TXA.c:562)
 
 
 @struct.dataclass
 class TxChain:
     analytic: OverlapSaveFIR            # 300-2700 analytic bandpass (USB)
+    phrot: "object"                     # PhaseRotator | None, on mic audio
     preemph: Preemphasis | None
     comp: SoftCompressor | None
     alc: TxALC | None
@@ -134,7 +136,12 @@ class TxChain:
             pm_gain = 2.0 * beta
             ct_amp = 0.0
         ct_w = TWO_PI * config.ctcss_hz / config.audio_rate
-        return cls(analytic=analytic, preemph=pre, comp=comp, alc=alc,
+        phrot = None
+        if config.phase_rotator:
+            from quisk_tpu.ops.iir import PhaseRotator
+            phrot = PhaseRotator.create(fs=config.audio_rate)
+        return cls(analytic=analytic, phrot=phrot,
+                   preemph=pre, comp=comp, alc=alc,
                    cessb=cessb, predist=predist, interp=interp, mode=m,
                    pm_gain=jnp.float32(pm_gain), ctcss_word=jnp.float32(ct_w),
                    ctcss_amp=jnp.float32(ct_amp),
@@ -164,6 +171,7 @@ class TxChain:
         return {
             "imd_phase": jnp.zeros((C, 2), jnp.float32),
             "analytic": self.analytic.init_state(C),
+            "phrot": self.phrot.init_state(C) if self.phrot else (),
             "preemph": self.preemph.init_state(C) if self.preemph else (),
             "alc": self.alc.init_state(C) if self.alc else (),
             "ctcss_phase": jnp.zeros((C,), jnp.float32),
@@ -189,6 +197,11 @@ class TxChain:
             [jnp.mod(ph1[:, -1], TWO_PI), jnp.mod(ph2[:, -1], TWO_PI)],
             axis=-1)
         a = jnp.where(is_imd, two_tone, a)
+        # phase rotator first, like the WDSP TX graph (xphrot right after
+        # the mic panel, TXA.c:562) — disperses speech phase to cut the
+        # peak-to-average ratio before any clipping stage
+        if self.phrot is not None:
+            st["phrot"], a = self.phrot(st["phrot"], a)
         if self.preemph is not None:
             st["preemph"], a = self.preemph(st["preemph"], a)
         if self.comp is not None:
