@@ -340,6 +340,96 @@ def bench_featured(iters: int = 20) -> dict:
     }
 
 
+def bench_featured_stages(iters: int = 10) -> list[dict]:
+    """Marginal cost of each OPTIONAL RX stage by prefix differencing.
+
+    Same method as bench_stages: jit the featured chain with the optional
+    stages enabled one at a time in their real step order (quisk.c:2289 /
+    RXA order), time each pipelined, and report consecutive differences —
+    the fused marginal cost of that stage inside the full program.  The
+    baseline row is the flagship path (front+decim+OLS+demod+AGC) built
+    from the featured config, so the rows sum to bench_featured's block
+    time up to fusion/timing noise.
+    """
+    from quisk_tpu.modes import Mode
+    from quisk_tpu.rx import RxChain, RxChainConfig
+    from quisk_tpu.utils.boundary import make_boundary_step, pack_tree
+
+    C = 1024
+    FS = 960000.0
+    cfg = RxChainConfig(sample_rate=FS, channels=C, audio_block=2048,
+                        agc=True, fused_frontend=True,
+                        noise_blanker=2, auto_notch=True, nr=True,
+                        anf=True, squelch=True, fm_squelch=True)
+    modes = [int(Mode.USB), int(Mode.LSB), int(Mode.AM), int(Mode.FM)]
+    chain = RxChain.create(
+        cfg,
+        tune_hz=[(-FS / 4 + (i + 0.5) * FS / (2 * C)) for i in range(C)],
+        mode=[modes[i % 4] for i in range(C)],
+    )
+    rng = np.random.default_rng(2)
+    x = (rng.standard_normal((C, chain.block_in))
+         + 1j * rng.standard_normal((C, chain.block_in))
+         ).astype(np.complex64)
+
+    order = ["nb", "notch", "anf", "nr", "squelch", "fm_sq"]
+
+    def prefix_body(ch, k, st, xx):
+        """Base chain plus the first k optional stages (in step order)."""
+        on = set(order[:k])
+        st = dict(st)
+        y = xx
+        if "nb" in on:
+            st["nb"], y = ch.nb(st["nb"], y)
+        st["front"], y = ch.front(st["front"], y)
+        new_stage_states = []
+        for op, s in zip(ch.stages, st["stages"]):
+            s, y = op(s, y)
+            new_stage_states.append(s)
+        st["stages"] = tuple(new_stage_states)
+        st["bp"], y = ch.bp(st["bp"], y)
+        if "fm_sq" in on:
+            rf_db = ch.fm_sq.measure(y)
+        st["demod"], audio = ch.demod(st["demod"], y)
+        if "notch" in on:
+            st["notch"], audio = ch.notch(st["notch"], audio)
+        if "anf" in on:
+            st["anf"], audio = ch.anf(st["anf"], audio)
+        if "nr" in on:
+            st["nr"], audio = ch.nr(st["nr"], audio)
+        st["agc"], audio = ch.agc(st["agc"], audio)
+        if "squelch" in on:
+            st["squelch"], audio = ch.squelch(st["squelch"], audio)
+        if "fm_sq" in on:
+            st["fm_sq"], audio = ch.fm_sq(st["fm_sq"], audio, rf_db)
+        return st, audio
+
+    pchain = jax.device_put(pack_tree(chain))
+    pstate0 = jax.device_put(pack_tree(chain.init_state()))
+    px = jax.device_put(pack_tree(x))
+
+    def timed_prefix(k) -> float:
+        stepf = make_boundary_step(
+            lambda ch, st, xx: prefix_body(ch, k, st, xx))
+        st, out = stepf(pchain, pstate0, px)      # compile
+        _sync(out)
+        return _timed_best(lambda s: stepf(pchain, s, px), pstate0, iters)
+
+    names = ["base chain (front+decim+OLS+demod+AGC)",
+             "noise blanker lvl 2 (raw IQ, banded matmuls)",
+             "FFT auto-notch (design+OLS apply)",
+             "LMS ANF (FDAF block LMS)",
+             "spectral NR2 (MMSE-LSA)",
+             "SSB squelch (spectral flatness)",
+             "FM squelch (RF measure + gate)"]
+    times = [timed_prefix(k) for k in range(len(names))]
+    out = [{"stage": names[0], "ms": round(times[0] * 1e3, 3)}]
+    for k in range(1, len(names)):
+        out.append({"stage": names[k],
+                    "ms": round((times[k] - times[k - 1]) * 1e3, 3)})
+    return out
+
+
 # ----------------------------------------------------------------- NFM
 def bench_nfm(iters: int = 20) -> dict:
     """BASELINE config #3: the 192 k NFM chain (FM discriminator +
@@ -429,6 +519,7 @@ def main():
     it = max(3, args.iters // 2)
     stages = bench_stages(iters=it)
     feat = bench_featured(iters=it)
+    feat_stages = bench_featured_stages(iters=max(3, it // 2))
     nfm = bench_nfm(iters=it)
     pfb = bench_pfb(iters=it)
     tx = bench_tx(iters=it)
@@ -466,6 +557,14 @@ def main():
               "multi-pass bf16 (~3-6x listed).  The workload is",
               "bandwidth/FFT-shaped, so HBM% is the meaningful roofline axis.",
               "",
+              "## Featured-chain stage breakdown (same prefix method;",
+              "## marginal pipelined ms/block of each optional stage)",
+              "",
+              "| stage | marginal ms/block |",
+              "|---|---|"]
+    for s in feat_stages:
+        lines.append(f"| {s['stage']} | {s['ms']} |")
+    lines += ["",
               "## Other configs", "",
               f"- {feat['metric']}: {feat['value']} {feat['unit']} "
               f"({feat['ms_per_block']} ms/block)",

@@ -21,7 +21,9 @@ from quisk_tpu.ops.diversity import DiversityCombiner  # noqa: F401
 from quisk_tpu.ops.eq import CFCompressor, GraphicEQ  # noqa: F401
 from quisk_tpu.ops.fir import (ConvFIR, MatmulFIR,  # noqa: F401
                                OverlapSaveFIR, make_fir)
-from quisk_tpu.ops.iir import Biquad, DCBlock, OnePole, Preemphasis  # noqa: F401
+from quisk_tpu.ops.iir import (Biquad, DCBlock, OnePole,  # noqa: F401
+                              PhaseRotator, Preemphasis)
+from quisk_tpu.ops.ewscan import ew_cumsum  # noqa: F401
 from quisk_tpu.ops.nco import NCO  # noqa: F401
 from quisk_tpu.ops.noise import (AutoNotch, NoiseBlanker,  # noqa: F401
                                  SpectralNoiseBlanker)
