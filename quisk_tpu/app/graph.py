@@ -236,3 +236,90 @@ def measure_audio_rms(audio: np.ndarray) -> np.ndarray:
     2155-2158 audio power metering)."""
     a = np.asarray(audio)
     return np.sqrt(np.mean(a * a, axis=-1))
+
+
+# ------------------------------------------------------ scope / filter / audio
+class ScopeService:
+    """Raw-sample oscilloscope trace (parity quisk.py:3389 ScopeScreen:
+    the debug time-domain view of the capture stream).
+
+    ``capture`` maps one IQ block to display-width I and Q traces; the
+    zoom control widens the time window by powers of two (more samples
+    per pixel, peak-decimated so narrow pulses stay visible).
+    """
+
+    def __init__(self, width: int = 1024):
+        self.width = width
+
+    def capture(self, iq_block, channel: int = 0, zoom: int = 0):
+        x = np.asarray(iq_block)
+        if x.ndim == 2:
+            x = x[channel]
+        span = min(len(x), self.width << max(0, int(zoom)))
+        x = x[:span]
+        stride = max(1, span // self.width)
+        n = (len(x) // stride) * stride
+        seg = x[:n].reshape(-1, stride)
+        # keep the absolute-peak sample of each pixel's bucket
+        idx = np.argmax(np.abs(seg), axis=1)
+        pick = seg[np.arange(len(seg)), idx]
+        return {"i": np.real(pick).astype(np.float32),
+                "q": np.imag(pick).astype(np.float32),
+                "samples_per_pixel": stride}
+
+
+def filter_response(bp, sample_rate: float, channel: int = 0,
+                    points: int = 2048) -> dict:
+    """RX channel-filter frequency response + 3/6 dB bandwidths (parity
+    quisk.py:3570 FilterScreen.NewFilter: QS.get_filter + the two
+    max-minus-3-dB span sweeps).
+
+    ``bp`` is the chain's OverlapSaveFIR; its frequency mask IS the
+    response, so no extra FFT of taps is needed — just re-grid to the
+    display width.
+    """
+    mask = np.asarray(bp.mask)
+    if mask.ndim == 2:
+        mask = mask[channel]
+    h = np.fft.fftshift(mask)
+    db = 20.0 * np.log10(np.abs(h) + 1e-12)
+    f = np.fft.fftshift(np.fft.fftfreq(bp.nfft, 1.0 / sample_rate))
+    xi = np.linspace(0, len(db) - 1, points)
+    db_r = np.interp(xi, np.arange(len(db)), db)
+    f_r = np.interp(xi, np.arange(len(f)), f)
+
+    def bw(down_db):
+        th = db_r.max() - down_db
+        on = np.nonzero(db_r > th)[0]
+        return float(f_r[on[-1]] - f_r[on[0]]) if len(on) else 0.0
+
+    return {"freqs_hz": f_r.astype(np.float64), "db": db_r,
+            "bw3_hz": bw(3.0), "bw6_hz": bw(6.0)}
+
+
+class AudioFFTService:
+    """FFT graph of (TX or RX) audio (parity quisk.py:3617
+    AudioFFTScreen).  Same accumulate/refresh pattern as GraphService but
+    for real audio blocks; the spectrum is one-sided."""
+
+    def __init__(self, fft_size: int, block: int, sample_rate: float,
+                 channels: int = 1, refresh_hz: float = 7.0):
+        self.sa = SpectrumAnalyzer.create(fft_size, block)
+        self.state = self.sa.init_state(channels)
+        self.sample_rate = sample_rate
+        self.blocks_per_refresh = max(
+            1, int(round(sample_rate / block / refresh_hz)))
+        self._since = 0
+
+    def feed(self, audio_block) -> np.ndarray | None:
+        """[C, block] real audio; returns [C, fft_size//2] dB (0..fs/2)
+        each refresh interval, else None."""
+        x = jnp.asarray(audio_block).astype(jnp.complex64)
+        self.state, _ = self.sa.accumulate(self.state, x)
+        self._since += 1
+        if self._since < self.blocks_per_refresh:
+            return None
+        full = np.asarray(self.sa.graph_db(self.state))   # fftshifted
+        self.state = self.sa.reset(self.state)
+        self._since = 0
+        return full[:, full.shape[1] // 2:]               # positive half

@@ -258,6 +258,15 @@ class Radio:
                                            mode=modes, notches_hz=notches)
         self._dirty = True
 
+    def filter_response(self, channel: int = 0, points: int = 2048) -> dict:
+        """Current RX channel-filter response + 3/6 dB bandwidths (the
+        FilterScreen data, quisk.py:3570)."""
+        from quisk_tpu.app.graph import filter_response
+        from quisk_tpu.rx.planner import plan_decimation
+
+        plan = plan_decimation(self.cfg.sample_rate, self.cfg.audio_rate)
+        return filter_response(self.chain.bp, plan.fs_mid, channel, points)
+
     def _apply_trim(self) -> None:
         if self.chain.cond is not None:
             self.chain = self.chain.replace(

@@ -80,3 +80,52 @@ def test_scan_controller_sweeps_and_stitches():
     assert len(set(tunes[:4])) == 4
     f = ctl.freqs()
     assert f[0] >= 6_900_000 and f[-1] <= 7_700_000 and np.all(np.diff(f) > 0)
+
+
+# ---------------------------------------------------------------------------
+# Scope / filter-response / audio-FFT data services (ScopeScreen
+# quisk.py:3389, FilterScreen quisk.py:3570, AudioFFTScreen quisk.py:3617)
+
+def test_scope_service_trace():
+    from quisk_tpu.app.graph import ScopeService
+
+    sc = ScopeService(width=256)
+    t = np.arange(4096)
+    x = (np.cos(0.01 * t) + 1j * np.sin(0.01 * t)).astype(np.complex64)[None]
+    tr = sc.capture(x, zoom=1)
+    assert tr["i"].shape == (256,) and tr["samples_per_pixel"] == 2
+    assert np.abs(tr["i"]).max() <= 1.01
+    # peak decimation keeps a narrow pulse visible at high zoom
+    y = np.zeros((1, 4096), np.complex64)
+    y[0, 1000] = 1.0
+    tr2 = ScopeService(width=64).capture(y, zoom=6)
+    assert np.abs(tr2["i"]).max() > 0.99
+
+
+def test_filter_response_bandwidths():
+    from quisk_tpu.app.graph import filter_response
+    from quisk_tpu.modes import Mode
+    from quisk_tpu.rx.chain import RxChain, RxChainConfig
+
+    cfg = RxChainConfig(sample_rate=192000.0, channels=2)
+    ch = RxChain.create(cfg, tune_hz=0.0, mode=Mode.USB)
+    fr = filter_response(ch.bp, 48000.0)
+    assert 2000 < fr["bw3_hz"] < 3500, fr["bw3_hz"]   # USB 300-2700
+    assert fr["bw6_hz"] >= fr["bw3_hz"]
+    on = np.nonzero(fr["db"] > fr["db"].max() - 3.0)[0]
+    lo, hi = fr["freqs_hz"][on[0]], fr["freqs_hz"][on[-1]]
+    assert 0 < lo < 700 and 2300 < hi < 3300, (lo, hi)
+
+
+def test_audio_fft_service_tone():
+    from quisk_tpu.app.graph import AudioFFTService
+
+    af = AudioFFTService(fft_size=1024, block=1024, sample_rate=48000.0)
+    tone = np.sin(2 * np.pi * 1000.0 / 48000.0
+                  * np.arange(1024)).astype(np.float32)[None]
+    out = None
+    for _ in range(af.blocks_per_refresh):
+        out = af.feed(tone)
+    assert out is not None and out.shape == (1, 512)
+    f = np.linspace(0, 24000.0, 512, endpoint=False)
+    assert abs(f[np.argmax(out[0])] - 1000.0) < 50
