@@ -565,6 +565,10 @@ def main():
     for s in feat_stages:
         lines.append(f"| {s['stage']} | {s['ms']} |")
     lines += ["",
+              "The base-chain row absorbs the dispatch floor and any",
+              "tunnel contention during its window (it can exceed the",
+              "fused featured total); the MARGINAL rows are the signal.",
+              "",
               "## Other configs", "",
               f"- {feat['metric']}: {feat['value']} {feat['unit']} "
               f"({feat['ms_per_block']} ms/block)",
