@@ -233,3 +233,53 @@ def test_tx_phrot_reduces_peak_to_average():
     base = crest(TxChainConfig(channels=1, alc=False))
     rot = crest(TxChainConfig(channels=1, alc=False, phase_rotator=True))
     assert rot < base * 0.9, (base, rot)
+
+
+def test_front_cond_sharded_matches_unsharded():
+    # the conditioner is per-channel elementwise + time-axis matmuls, so
+    # channel sharding must be exact; compare a sharded front_cond+dc run
+    # against the unsharded chain on the 8-device CPU mesh
+    import jax
+
+    from quisk_tpu.modes import Mode
+    from quisk_tpu.parallel import make_mesh, shard_over_channels
+    from quisk_tpu.parallel.multihost import make_global_iq
+    from quisk_tpu.rx.chain import RxChain, RxChainConfig
+
+    FS = 192000.0
+    C, nblk = 16, 3
+    cfg = RxChainConfig(sample_rate=FS, channels=C, audio_block=256,
+                        agc=False, front_cond=True, dc_remove_bw=200)
+    chain = RxChain.create(cfg, tune_hz=8000.0, mode=Mode.USB)
+    chain = chain.replace(cond=chain.cond.with_balance(0.03, 1.0,
+                                                       invert=False))
+    rng = np.random.default_rng(5)
+    n = nblk * chain.block_in
+    iq = ((rng.standard_normal((C, n)) + 1j * rng.standard_normal((C, n)))
+          .astype(np.complex64) + (0.1 - 0.05j))
+
+    st = chain.init_state()
+    ref = []
+    for i in range(nblk):
+        st, a = chain.step(st, jnp.asarray(
+            iq[:, i * chain.block_in:(i + 1) * chain.block_in]))
+        ref.append(np.asarray(a))
+    ref = np.concatenate(ref, axis=-1)
+
+    mesh = make_mesh()
+    chain_s = shard_over_channels(chain, mesh, C)
+    state_s = shard_over_channels(chain.init_state(), mesh, C)
+
+    @jax.jit
+    def step(ch, s, xx):
+        return ch.step(s, xx)
+
+    outs = []
+    for i in range(nblk):
+        x = make_global_iq(np.ascontiguousarray(
+            iq[:, i * chain.block_in:(i + 1) * chain.block_in]), mesh)
+        state_s, a = step(chain_s, state_s, x)
+        outs.append(np.asarray(a))
+    got = np.concatenate(outs, axis=-1)
+    err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-12)
+    assert err < 1e-5, err
