@@ -274,11 +274,21 @@ class Radio:
                     self.ampl_phase[0], self.ampl_phase[1],
                     invert=self.invert))
 
-    def set_ampl_phase(self, ampl: float, phase_deg: float) -> None:
-        """Set the RX I/Q balance trim (parity quisk_set_ampl_phase,
-        sound.c:1560-1581; the GUI's per-band amplitude/phase adjust).
-        Data-only — no recompile; persisted via Settings like the
-        reference's bandAmplPhase database (quisk.py:3826)."""
+    def set_ampl_phase(self, ampl: float, phase_deg: float,
+                       is_tx: bool = False) -> None:
+        """Set the RX (or, with ``is_tx``, TX) I/Q balance trim (parity
+        quisk_set_ampl_phase, sound.c:1560-1581; the GUI's per-band
+        amplitude/phase adjust).  Data-only — no recompile; persisted via
+        Settings like the reference's bandAmplPhase database
+        (quisk.py:3826)."""
+        if is_tx:
+            if getattr(self, "tx", None) is None:
+                raise ValueError("no TX chain (call enable_tx first)")
+            self.tx = self.tx.set_ampl_phase(ampl, phase_deg)
+            if self.settings is not None:
+                self.settings.update_state(
+                    tx_ampl_phase=[float(ampl), float(phase_deg)])
+            return
         if self.chain.cond is None:
             raise ValueError("enable cfg.front_cond to use the balance trim")
         self.ampl_phase = (float(ampl), float(phase_deg))
@@ -546,6 +556,10 @@ class Radio:
                           tx_rate=tx_rate or self.cfg.tx_rate, **tx_kwargs),
             mode=int(self.cfg.modes()))
         self._tx_state = self.tx.init_state()
+        if self.settings is not None:
+            saved = self.settings.get_state().get("tx_ampl_phase")
+            if saved:
+                self.tx = self.tx.set_ampl_phase(saved[0], saved[1])
         self.ptt = PttController(self.cfg.audio_rate, self.tx.block,
                                  max_tx_secs=600.0)
         self.vox = VoxControl(self.cfg.audio_rate, self.tx.block)

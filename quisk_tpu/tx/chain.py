@@ -65,6 +65,10 @@ class TxChain:
     predist: "object"                   # Predistorter | None
     interp: Interpolator | None
     mode: jnp.ndarray                   # [C] int32
+    # TX I/Q balance trim (sound.c:735-741: the is_tx=1 arm of
+    # quisk_set_ampl_phase corrects the outgoing stream with the same
+    # A/C/D 2x2); identity by default, pure data — see set_ampl_phase
+    trim: tuple                         # (m00, m10, m11) each [C, 1]
     pm_gain: jnp.ndarray                # rad per unit *bandpassed* audio
     ctcss_word: jnp.ndarray             # rad/sample CTCSS increment
     ctcss_amp: jnp.ndarray              # rad CTCSS phase amplitude
@@ -140,7 +144,10 @@ class TxChain:
         if config.phase_rotator:
             from quisk_tpu.ops.iir import PhaseRotator
             phrot = PhaseRotator.create(fs=config.audio_rate)
-        return cls(analytic=analytic, phrot=phrot,
+        trim = (jnp.ones((C, 1), jnp.float32),
+                jnp.zeros((C, 1), jnp.float32),
+                jnp.ones((C, 1), jnp.float32))
+        return cls(analytic=analytic, phrot=phrot, trim=trim,
                    preemph=pre, comp=comp, alc=alc,
                    cessb=cessb, predist=predist, interp=interp, mode=m,
                    pm_gain=jnp.float32(pm_gain), ctcss_word=jnp.float32(ct_w),
@@ -253,4 +260,25 @@ class TxChain:
 
         if self.interp is not None:
             st["interp"], iq = self.interp(st["interp"], iq)
+        # last: TX I/Q balance trim at the device boundary (sound.c:735)
+        m00, m10, m11 = self.trim
+        re, im = jnp.real(iq), jnp.imag(iq)
+        iq = jnp.asarray(m00 * re + 1j * (m10 * re + m11 * im), iq.dtype)
         return st, iq
+
+    def set_ampl_phase(self, ampl: float, phase_deg: float,
+                       channel=None) -> "TxChain":
+        """New chain with the TX I/Q balance trim (the is_tx=1 arm of
+        quisk_set_ampl_phase, sound.c:1565-1581) — data only."""
+        from quisk_tpu.rx.frontend import balance_matrix
+        m00, m10, m11 = balance_matrix(ampl, phase_deg, invert=False)
+        if channel is None:
+            C = self.channels
+            trim = (jnp.full((C, 1), m00, jnp.float32),
+                    jnp.full((C, 1), m10, jnp.float32),
+                    jnp.full((C, 1), m11, jnp.float32))
+        else:
+            trim = (self.trim[0].at[channel, 0].set(m00),
+                    self.trim[1].at[channel, 0].set(m10),
+                    self.trim[2].at[channel, 0].set(m11))
+        return self.replace(trim=trim)

@@ -283,3 +283,40 @@ def test_front_cond_sharded_matches_unsharded():
     got = np.concatenate(outs, axis=-1)
     err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-12)
     assert err < 1e-5, err
+
+
+def test_tx_ampl_phase_trim_precompensates_image():
+    # the is_tx=1 arm of quisk_set_ampl_phase (sound.c:735-741): the trim
+    # runs on the OUTGOING IQ so a sound-card imbalance downstream is
+    # pre-compensated; model the card as the inverse 2x2 and check the
+    # radiated image vanishes
+    from quisk_tpu.tx.chain import TxChain, TxChainConfig
+
+    fs, B = 48000.0, 2048
+    tx = TxChain.create(TxChainConfig(channels=1, alc=False), mode=2)  # USB
+    t = np.arange(8 * B) / fs
+    a = np.sin(2 * np.pi * 1000.0 * t).astype(np.float32)[None]
+    ampl, ph = 0.05, 2.0
+    m00, m10, m11 = balance_matrix(ampl, ph, invert=False)
+    card = np.linalg.inv(np.array([[m00, 0.0], [m10, m11]]))
+
+    def radiated_image_db(chain):
+        st = chain.init_state()
+        outs = []
+        for b in range(8):
+            st, iq = chain.step(st, jnp.asarray(a[:, b * B:(b + 1) * B]))
+            outs.append(np.asarray(iq))
+        iq = np.concatenate(outs, axis=1)[0][2 * B:]
+        re, im = np.real(iq), np.imag(iq)
+        out = card[0, 0] * re + 1j * (card[1, 0] * re + card[1, 1] * im)
+        F = np.abs(np.fft.fft(out * np.hanning(len(out)))) ** 2
+        f = np.fft.fftfreq(len(out), 1 / fs)
+        # the chain's baseband convention puts USB audio at -f; the
+        # unwanted image is the +f mirror
+        want = F[np.abs(f + 1000.0) < 40].sum()
+        img = F[np.abs(f - 1000.0) < 40].sum()
+        return 10 * np.log10(want / img)
+
+    before = radiated_image_db(tx)
+    after = radiated_image_db(tx.set_ampl_phase(ampl, ph))
+    assert before < 45 and after > before + 25, (before, after)
