@@ -452,11 +452,45 @@ class Radio:
             self.tci.send_audio(self.mix_stereo(audio))
         if getattr(self, "cat_serial", None) is not None:
             self.cat_serial.process()    # poll the ZZ pty (quisk.py:6593)
+        rec = getattr(self, "_record", None)
+        if rec is not None:              # live record taps (sound.c:255-421)
+            if rec["kind"] == "iq":
+                rec["blocks"].append(x[rec["channel"]].copy())
+            else:
+                rec["blocks"].append(
+                    np.real(audio[rec["channel"]]).astype(np.float32))
         if self.settings is not None:
             self.settings.update_state(tune_hz=self.cfg.tune_hz,
                                        mode=self.cfg.mode,
                                        notches=self.notch_db.to_list())
         return np.asarray(audio)
+
+    # ---- record buttons (sound.c:255-421 + quisk.c:295-577: record the
+    # speaker audio or the raw samples to WAV while running) --------------
+    def start_record(self, path: str, kind: str = "audio",
+                     channel: int = 0) -> None:
+        """Start recording ``kind`` ('audio' = demodulated speaker audio,
+        'iq' = raw capture samples) of one channel; stop_record writes
+        the WAV."""
+        if kind not in ("audio", "iq"):
+            raise ValueError("kind must be 'audio' or 'iq'")
+        self._record = {"path": path, "kind": kind, "channel": int(channel),
+                        "blocks": []}
+
+    def stop_record(self) -> str | None:
+        """Write the recording started by :meth:`start_record`; returns
+        the path (None if nothing was recorded)."""
+        rec = getattr(self, "_record", None)
+        self._record = None
+        if rec is None or not rec["blocks"]:
+            return None
+        from quisk_tpu.io import wav
+        data = np.concatenate(rec["blocks"], axis=-1)
+        if rec["kind"] == "iq":
+            wav.write_iq_wav(rec["path"], data, self.cfg.sample_rate)
+        else:
+            wav.write_audio_wav(rec["path"], data, self.cfg.audio_rate)
+        return rec["path"]
 
     def run(self, blocks: int) -> np.ndarray:
         """Run ``blocks`` iterations; returns concatenated audio [C, N]."""

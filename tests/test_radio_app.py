@@ -65,3 +65,32 @@ def test_radio_cat_control_retunes():
     f = np.fft.rfftfreq(len(seg), 1 / radio.chain.fs_audio)
     k = np.argmax(np.abs(np.fft.rfft(seg)))
     assert abs(f[k] - 1000.0) < 30.0      # 8 kHz tone, 7 kHz carrier
+
+
+def test_record_buttons_audio_and_iq(tmp_path):
+    # live record taps (sound.c:255-421, quisk.c:295-577): speaker audio
+    # and raw capture samples to WAV while the block loop runs
+    from quisk_tpu.app.config import RadioConfig
+    from quisk_tpu.app.radio import Radio
+    from quisk_tpu.io import wav
+
+    r = Radio(RadioConfig(sample_rate=48000.0, tune_hz=10000.0),
+              hardware="sim", rigctl_port=None)
+    r.open()
+    p1 = str(tmp_path / "spk.wav")
+    r.start_record(p1, kind="audio")
+    r.run(blocks=3)
+    assert r.stop_record() == p1
+    a, fs = wav.read_audio_wav(p1)
+    assert fs == 48000.0 and a.shape[-1] == 3 * r.chain.block_audio
+    assert np.all(np.isfinite(a))
+
+    p2 = str(tmp_path / "raw.wav")
+    r.start_record(p2, kind="iq")
+    r.run(blocks=2)
+    assert r.stop_record() == p2
+    iq, fs2 = wav.read_iq_wav(p2)
+    assert fs2 == 48000.0 and iq.shape[-1] == 2 * r.chain.block_in
+    assert np.iscomplexobj(iq)
+    r.close()
+    assert r.stop_record() is None
