@@ -274,6 +274,13 @@ class Radio:
                     self.ampl_phase[0], self.ampl_phase[1],
                     invert=self.invert))
 
+    def set_spot(self, level: float) -> None:
+        """Spot button: transmit a plain carrier at ``level`` (0..1) for
+        antenna tuning; negative turns it off (microphone.c:1218)."""
+        if getattr(self, "tx", None) is None:
+            raise ValueError("no TX chain (call enable_tx first)")
+        self.tx = self.tx.set_spot(level)
+
     def set_ampl_phase(self, ampl: float, phase_deg: float,
                        is_tx: bool = False) -> None:
         """Set the RX (or, with ``is_tx``, TX) I/Q balance trim (parity

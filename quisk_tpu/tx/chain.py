@@ -69,6 +69,10 @@ class TxChain:
     # quisk_set_ampl_phase corrects the outgoing stream with the same
     # A/C/D 2x2); identity by default, pure data — see set_ampl_phase
     trim: tuple                         # (m00, m10, m11) each [C, 1]
+    # Spot button (microphone.c:1218-1221 transmit_mic_carrier): >= 0
+    # replaces the TX output with a plain carrier at that amplitude
+    # (reference level 0..1000 -> 0..1.0); -1 = off.  Pure data.
+    spot: jnp.ndarray                   # [C, 1] f32
     pm_gain: jnp.ndarray                # rad per unit *bandpassed* audio
     ctcss_word: jnp.ndarray             # rad/sample CTCSS increment
     ctcss_amp: jnp.ndarray              # rad CTCSS phase amplitude
@@ -148,6 +152,7 @@ class TxChain:
                 jnp.zeros((C, 1), jnp.float32),
                 jnp.ones((C, 1), jnp.float32))
         return cls(analytic=analytic, phrot=phrot, trim=trim,
+                   spot=jnp.full((C, 1), -1.0, jnp.float32),
                    preemph=pre, comp=comp, alc=alc,
                    cessb=cessb, predist=predist, interp=interp, mode=m,
                    pm_gain=jnp.float32(pm_gain), ctcss_word=jnp.float32(ct_w),
@@ -260,11 +265,24 @@ class TxChain:
 
         if self.interp is not None:
             st["interp"], iq = self.interp(st["interp"], iq)
+        # Spot: replace the output with a plain tuning carrier when set
+        # (microphone.c:1218 transmit_mic_carrier at the full TX rate)
+        iq = jnp.where(self.spot >= 0.0,
+                       self.spot.astype(jnp.complex64), iq)
         # last: TX I/Q balance trim at the device boundary (sound.c:735)
         m00, m10, m11 = self.trim
         re, im = jnp.real(iq), jnp.imag(iq)
         iq = jnp.asarray(m00 * re + 1j * (m10 * re + m11 * im), iq.dtype)
         return st, iq
+
+    def set_spot(self, level: float, channel=None) -> "TxChain":
+        """Spot button (microphone.c:1218): ``level`` 0..1 transmits a
+        plain carrier at that amplitude; negative turns Spot off."""
+        if channel is None:
+            spot = jnp.full((self.channels, 1), float(level), jnp.float32)
+        else:
+            spot = self.spot.at[channel, 0].set(float(level))
+        return self.replace(spot=spot)
 
     def set_ampl_phase(self, ampl: float, phase_deg: float,
                        channel=None) -> "TxChain":

@@ -194,3 +194,35 @@ def test_radio_remembers_tx_audio_per_mode_family():
             0.6, rel=1e-6)
     finally:
         r.close()
+
+
+def test_spot_button_transmits_plain_carrier():
+    # microphone.c:1218-1221: Spot >= 0 replaces TX output with a carrier
+    # at level/1000 amplitude; data-only on/off, no recompile
+    import jax
+    import jax.numpy as jnp
+    from quisk_tpu.tx.chain import TxChain, TxChainConfig
+
+    fs, B = 48000.0, 2048
+    tx = TxChain.create(TxChainConfig(channels=2, alc=False), mode=2)
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((2, B)).astype(np.float32) * 0.3
+
+    @jax.jit
+    def step(ch, st, aa):
+        return ch.step(st, aa)
+
+    st = tx.init_state()
+    _, iq_mod = step(tx, st, jnp.asarray(a))
+
+    tx_spot = tx.set_spot(0.5)
+    _, iq_spot = step(tx_spot, st, jnp.asarray(a))  # same compiled program
+    assert np.allclose(np.asarray(iq_spot), 0.5 + 0.0j, atol=1e-6)
+    assert not np.allclose(np.asarray(iq_mod), 0.5 + 0.0j, atol=1e-3)
+
+    # per-channel: spot only channel 1
+    tx_one = tx.set_spot(0.3, channel=1)
+    _, iq_one = step(tx_one, st, jnp.asarray(a))
+    got = np.asarray(iq_one)
+    assert np.allclose(got[1], 0.3 + 0.0j, atol=1e-6)
+    assert not np.allclose(got[0], 0.3 + 0.0j, atol=1e-3)
