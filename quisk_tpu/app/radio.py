@@ -170,6 +170,53 @@ class Radio:
         if getattr(self, "tx", None) is not None:
             self._apply_tx_audio()
 
+    # ---- band switching with per-band memory (quisk.py:3823 bandState;
+    # band buttons save (VFO, tune, mode) and restore on return) ----------
+    #: amateur allocations (quisk_conf_defaults.py:2553 BandEdge — the
+    #: ITU band-plan facts, not code)
+    BAND_EDGES = {
+        "137k": (135_700, 137_800), "500k": (472_000, 479_000),
+        "160": (1_800_000, 2_000_000), "80": (3_500_000, 4_000_000),
+        "60": (5_300_000, 5_430_000), "40": (7_000_000, 7_300_000),
+        "30": (10_100_000, 10_150_000), "20": (14_000_000, 14_350_000),
+        "17": (18_068_000, 18_168_000), "15": (21_000_000, 21_450_000),
+        "12": (24_890_000, 24_990_000), "10": (28_000_000, 29_700_000),
+        "6": (50_000_000, 54_000_000), "2": (144_000_000, 148_000_000),
+        "70cm": (420_000_000, 450_000_000),
+    }
+
+    def set_band(self, band: str) -> None:
+        """Switch bands: save (VFO, dial, mode) for the current band and
+        restore the target band's last state — or, on first visit, tune
+        the band center with the reference's default mode rule (LSB below
+        9 MHz, USB above; quisk.py ChangeBand).  Persisted via Settings
+        (StateNames 'bandState'/'lastBand', quisk.py:3713)."""
+        if not hasattr(self, "band_state"):
+            self.band_state = {}
+            if self.settings is not None:
+                self.band_state = dict(
+                    self.settings.get_state().get("band_state") or {})
+        cur = getattr(self, "band", None)
+        if cur is not None:
+            self.band_state[cur] = [self.vfo_hz, self.freq_hz,
+                                    self.cfg.mode]
+        self.band = band
+        if band in self.band_state:
+            vfo, freq, mode = self.band_state[band]
+        else:
+            f1, f2 = self.BAND_EDGES.get(band, (10_000_000, 12_000_000))
+            vfo = ((f1 + f2) // 2 // 10_000) * 10_000
+            mode = "LSB" if vfo < 9_000_000 else "USB"
+            freq = vfo
+        self.vfo_hz = float(vfo)
+        self.set_mode(mode)
+        self.set_frequency(float(freq))
+        if hasattr(self.hw, "ChangeBandFilters"):
+            self.hw.ChangeBandFilters()   # quisk.py:3174 hardware hook
+        if self.settings is not None:
+            self.settings.update_state(band=band,
+                                       band_state=self.band_state)
+
     # ---- per-mode TX audio settings (quisk.py:3716 txAudioClipUsb/Am/
     # Fm/Fdv + txAudioPreemph*, applied on mode change at 5681-5695) ------
     _TX_AUDIO_FAMILY = {"USB": "Usb", "LSB": "Usb", "AM": "Am", "FM": "Fm",

@@ -94,3 +94,32 @@ def test_record_buttons_audio_and_iq(tmp_path):
     assert np.iscomplexobj(iq)
     r.close()
     assert r.stop_record() is None
+
+
+def test_band_switching_with_per_band_memory(tmp_path):
+    # quisk.py bandState: band buttons save (VFO, dial, mode) and restore;
+    # first visit lands on the band center with LSB<9MHz/USB rule
+    from quisk_tpu.app.config import RadioConfig, Settings
+    from quisk_tpu.app.radio import Radio
+
+    s = Settings(tmp_path / "s.json")
+    r = Radio(RadioConfig(sample_rate=192000.0), hardware="sim", settings=s,
+              rigctl_port=None)
+    r.set_band("40")
+    assert r.cfg.mode == "LSB" and r.vfo_hz == 7_150_000
+    assert r.freq_hz == 7_150_000
+    r.set_frequency(7_162_000.0)          # operate somewhere in-band
+    r.set_mode("CWL")
+    r.set_band("20")
+    assert r.cfg.mode == "USB" and r.vfo_hz == 14_170_000
+    r.set_band("40")                      # restored exactly
+    assert (r.freq_hz, r.cfg.mode) == (7_162_000.0, "CWL")
+    assert r.vfo_hz == 7_150_000
+    s.save()
+    # band memory persists across app sessions (StateNames parity)
+    r2 = Radio(RadioConfig(sample_rate=192000.0), hardware="sim",
+               settings=Settings(tmp_path / "s.json"), rigctl_port=None)
+    r2.set_band("20")
+    assert r2.vfo_hz == 14_170_000
+    r2.set_band("40")
+    assert (r2.freq_hz, r2.cfg.mode) == (7_162_000.0, "CWL")
