@@ -73,6 +73,13 @@ class Radio:
         if self.invert and not self.rx_cfg.front_cond:
             self.rx_cfg = dataclasses.replace(self.rx_cfg, front_cond=True)
         self.ampl_phase = (0.0, 0.0)     # current I/Q balance trim
+        # speaker volume + mute (quisk.py sliderVol / QS.set_volume and
+        # the Mute button — a playback-path multiplier; digital/DGT-IQ
+        # outputs stay unscaled like the reference's sound routing)
+        self.volume = 1.0
+        self.muted = False
+        if settings is not None:
+            self.volume = float(settings.get_state().get("volume", 1.0))
         self.chain = RxChain.create(self.rx_cfg, tune_hz=self.offsets,
                                     mode=[int(Mode[m])
                                           for m in self.channel_modes])
@@ -321,6 +328,17 @@ class Radio:
                     self.ampl_phase[0], self.ampl_phase[1],
                     invert=self.invert))
 
+    def set_volume(self, volume: float) -> None:
+        """Speaker volume 0..1 (quisk.py sliderVol); persisted."""
+        self.volume = float(np.clip(volume, 0.0, 1.0))
+        if self.settings is not None:
+            self.settings.update_state(volume=self.volume)
+
+    def set_mute(self, muted: bool) -> None:
+        """Mute button: silences the speaker path only (digital outputs
+        and the spectrum keep flowing, like the reference)."""
+        self.muted = bool(muted)
+
     def set_spot(self, level: float) -> None:
         """Spot button: transmit a plain carrier at ``level`` (0..1) for
         antenna tuning; negative turns it off (microphone.c:1218)."""
@@ -491,6 +509,7 @@ class Radio:
                 if m == "DGT_IQ":
                     self._digital_out[c] = audio[c]
             audio = np.real(audio)
+        audio = audio * (0.0 if self.muted else self.volume)
         trace = self.graph.feed(x)
         if trace is not None:
             self.waterfall.add_row(trace[0])

@@ -123,3 +123,28 @@ def test_band_switching_with_per_band_memory(tmp_path):
     assert r2.vfo_hz == 14_170_000
     r2.set_band("40")
     assert (r2.freq_hz, r2.cfg.mode) == (7_162_000.0, "CWL")
+
+
+def test_volume_and_mute(tmp_path):
+    from quisk_tpu.app.config import RadioConfig, Settings
+    from quisk_tpu.app.radio import Radio
+
+    s = Settings(tmp_path / "s.json")
+    r = Radio(RadioConfig(sample_rate=48000.0, tune_hz=10000.0,
+                          agc=False),   # stationary level for the ratio
+              hardware="sim", settings=s, rigctl_port=None)
+    r.open()
+    r.run(blocks=4)                      # filter warm-up
+    full = np.sqrt(np.mean(r.run(blocks=4) ** 2))
+    r.set_volume(0.25)
+    quarter = np.sqrt(np.mean(r.run(blocks=4) ** 2))
+    assert np.isclose(quarter, 0.25 * full, rtol=0.2), (full, quarter)
+    r.set_mute(True)
+    assert np.abs(r.run(blocks=1)).max() == 0.0
+    r.set_mute(False)
+    r.close()
+    s.save()
+    # volume persists
+    r2 = Radio(RadioConfig(sample_rate=48000.0), hardware="sim",
+               settings=Settings(tmp_path / "s.json"), rigctl_port=None)
+    assert r2.volume == 0.25
