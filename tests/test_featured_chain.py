@@ -93,3 +93,81 @@ def test_featured_chain_all_stages_run():
                 iq[i * chain.block_in:(i + 1) * chain.block_in]] * 2)))
         assert a.shape == (2, chain.block_audio)
         assert np.isfinite(np.asarray(a)).all()
+
+
+def test_featured_chain_sharded_matches_unsharded():
+    # every optional stage (NB, auto-notch, ANF, NR2, squelches) under
+    # channel sharding on the 8-device mesh must reproduce the unsharded
+    # chain — the STFT/FDAF/banded-matmul internals all ride the time
+    # axis, so the channel mesh cannot change the math
+    import jax
+
+    from quisk_tpu.parallel import make_mesh, shard_over_channels
+    from quisk_tpu.parallel.multihost import make_global_iq
+
+    FS = 192000.0
+    C, nblk = 16, 3
+    cfg = RxChainConfig(sample_rate=FS, channels=C, audio_block=512,
+                        agc=True, noise_blanker=2, auto_notch=True,
+                        nr=True, anf=True, squelch=True, fm_squelch=True)
+    modes = [int(Mode.USB), int(Mode.AM), int(Mode.FM), int(Mode.LSB)]
+    chain = RxChain.create(
+        cfg, tune_hz=[(-FS / 4 + (i + 0.5) * FS / (2 * C))
+                      for i in range(C)],
+        mode=[modes[i % 4] for i in range(C)])
+    # real modulated stations, not raw noise: on pure noise the AGC's
+    # clip detection and the squelch gates flip on one-ULP fusion
+    # differences between the sharded and unsharded programs (binary
+    # decisions amplify ~1e-7 into ~1e-2); with actual signals every
+    # decision is far from threshold and the runs agree tightly
+    n = nblk * chain.block_in
+    tunes = np.asarray(chain.tune_base)
+    mvec = np.asarray(chain.demod.mode)
+    iq = np.stack([sources.station_iq(mvec[c], FS, n, float(tunes[c]),
+                                      seed=c) for c in range(C)])
+    rng = np.random.default_rng(11)
+    iq = (iq + 0.001 * (rng.standard_normal(iq.shape)
+                        + 1j * rng.standard_normal(iq.shape))
+          ).astype(np.complex64)
+
+    st = chain.init_state()
+    ref = []
+    for i in range(nblk):
+        st, a = chain.step(st, jnp.asarray(
+            iq[:, i * chain.block_in:(i + 1) * chain.block_in]))
+        ref.append(np.asarray(a))
+    ref = np.concatenate(ref, axis=-1)
+
+    mesh = make_mesh()
+    chain_s = shard_over_channels(chain, mesh, C)
+    state_s = shard_over_channels(chain.init_state(), mesh, C)
+
+    @jax.jit
+    def step(ch, s, xx):
+        return ch.step(s, xx)
+
+    outs = []
+    for i in range(nblk):
+        x = make_global_iq(np.ascontiguousarray(
+            iq[:, i * chain.block_in:(i + 1) * chain.block_in]), mesh)
+        state_s, a = step(chain_s, state_s, x)
+        outs.append(np.asarray(a))
+    got = np.concatenate(outs, axis=-1)
+    # Steady state (first audio block skipped: filter histories are
+    # filling and FM sees near-zero amplitude there).  Non-FM channels
+    # must agree samplewise.  FM channels CANNOT be asserted samplewise:
+    # during warm-up the discriminator is noise-dominated, one-ULP
+    # fusion differences between the two compiled programs pick
+    # different +-2pi branches (CLAUDE.md FM note), and the adaptive
+    # stages (ANF/NR) seed their state from that chaos and carry it
+    # forward — two equally valid executions.  Assert behavioral
+    # equivalence (RMS) for FM instead.
+    B = chain.block_audio
+    g2, r2 = got[:, B:], ref[:, B:]
+    fm = np.asarray(chain.demod.mode) == int(Mode.FM)
+    scale = np.abs(r2).max() + 1e-12
+    err = np.abs(g2[~fm] - r2[~fm]).max() / scale
+    assert err < 1e-3, err
+    assert np.all(np.isfinite(g2))
+    rms_ratio = np.sqrt((g2[fm] ** 2).mean() / (r2[fm] ** 2).mean())
+    assert 0.85 < rms_ratio < 1.15, rms_ratio
