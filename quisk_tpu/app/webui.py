@@ -248,7 +248,10 @@ class WebUIServer:
                 "vfo": getattr(c, "vfo_hz", 0.0),
                 "mode": getattr(getattr(c, "cfg", c), "mode", "USB"),
                 "modes": MODES,
-                "channels": getattr(getattr(c, "cfg", c), "channels", 1)}
+                "channels": getattr(getattr(c, "cfg", c), "channels", 1),
+                "volume": getattr(c, "volume", 1.0),
+                "muted": getattr(c, "muted", False),
+                "band": getattr(c, "band", None)}
 
     def send_state(self) -> None:
         self._broadcast(ws_encode(json.dumps(self.state_dict())))
@@ -277,6 +280,12 @@ class WebUIServer:
                                     freq_hz=msg.get("freq"),
                                     mode=msg.get("mode"),
                                     route=msg.get("route"))
+        elif cmd == "volume" and hasattr(self.control, "set_volume"):
+            self.control.set_volume(float(msg["value"]))
+        elif cmd == "mute" and hasattr(self.control, "set_mute"):
+            self.control.set_mute(bool(msg["value"]))
+        elif cmd == "band" and hasattr(self.control, "set_band"):
+            self.control.set_band(str(msg["value"]))
         else:
             return
         self.send_state()

@@ -162,3 +162,27 @@ def test_radio_webui_integration():
         ws.s.close()
     finally:
         radio.close()
+
+
+def test_webui_volume_mute_band_commands():
+    cfg = RadioConfig(sample_rate=192000.0, mode="USB")
+    radio = Radio(cfg, hardware="sim")
+    radio.open()
+    try:
+        port = radio.enable_webui()
+        ws = WsClient(port, path="/ws")
+        st = _recv_json(ws)
+        assert st["volume"] == 1.0 and st["muted"] is False
+        ws.send_text(json.dumps({"cmd": "volume", "value": 0.3}))
+        st = _recv_json(ws)
+        assert st["volume"] == 0.3 and radio.volume == 0.3
+        ws.send_text(json.dumps({"cmd": "mute", "value": True}))
+        st = _recv_json(ws)
+        assert st["muted"] is True and radio.muted
+        ws.send_text(json.dumps({"cmd": "band", "value": "40"}))
+        st = _recv_json(ws)
+        assert st["band"] == "40" and radio.vfo_hz == 7_150_000
+        assert st["mode"] == "LSB"
+        ws.s.close()
+    finally:
+        radio.close()
