@@ -217,6 +217,8 @@ class Radio:
             freq = vfo
         self.vfo_hz = float(vfo)
         self.set_mode(mode)
+        if hasattr(self.hw, "ChangeBand"):
+            self.hw.ChangeBand(band)      # quisk.py:6366 Hardware.ChangeBand
         self.set_frequency(float(freq))
         if hasattr(self.hw, "ChangeBandFilters"):
             self.hw.ChangeBandFilters()   # quisk.py:3174 hardware hook
