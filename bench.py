@@ -263,10 +263,14 @@ def bench_pfb(iters: int = 20) -> dict:
 
     K = 4096
     S = 1                     # wideband streams
-    B = K * 1024              # input samples per dispatch: K*32 and K*64
+    B = K * 4096              # input samples per dispatch: K*32 and K*64
                               # measured dispatch-floor-bound (~11-14 ms
-                              # regardless); at K*1024 the channelizer
-                              # compute finally dominates the dispatch
+                              # regardless); after the accumulation
+                              # formulation cut the polyphase pass to
+                              # ~0.05 ms marginal, even K*1024 was ~80%
+                              # dispatch floor — K*4096 (16.8 M samples,
+                              # 134 MB in, ~17 ms of compute) amortizes
+                              # the ~16 ms tunnel floor to a minor term
     pfb = OversampledPFB.create(K, B, taps_per_branch=8)
     modes = [int(Mode.USB), int(Mode.LSB), int(Mode.AM), int(Mode.FM)]
     demod = MixedDemod.create([modes[i % 4] for i in range(K)],

@@ -14,8 +14,10 @@ Structure (standard critically-sampled DFT filterbank):
   y[m, :] = K-point IFFT of v[m, :] -> channel c centered at c*fs/K,
   output rate fs/K per channel.
 
-On TPU: the branch filtering is one einsum over P (MXU), the cross-branch
-transform is a batched FFT — both the shapes XLA loves.  Batched over a
+On TPU: the branch filtering is P shifted-view elementwise FMAs fused
+into one streaming pass (VPU, HBM-bound at ~1 read of the input per tap
+row — beats materializing the P-redundant window stack for an MXU
+einsum), the cross-branch transform is a batched FFT.  Batched over a
 leading [S, ...] axis of independent wideband streams.
 """
 
@@ -80,17 +82,22 @@ class PFBChannelizer:
         # taps, and the leading per-channel phase is constant across blocks
         # (block length is a multiple of K).
         frames = ext.reshape(S, M + P - 1, K)
-        # overlapping windows as P shifted frame VIEWS stacked on a new
-        # axis — pure slices, no gather (a [M, P] advanced-index gather
-        # here measured ~600x off the HBM roofline on TPU)
-        win = jnp.stack([frames[:, v:v + M] for v in range(P)],
-                        axis=2)[..., ::-1]        # [S, M, P, K] (q reversed)
-        hp = self.h_poly[::-1]                    # branch-time reversed
-        vr = jnp.einsum("smpk,pk->smk", jnp.real(win), hp,
-                        precision=jax.lax.Precision.HIGHEST)
-        vi = jnp.einsum("smpk,pk->smk", jnp.imag(win), hp,
-                        precision=jax.lax.Precision.HIGHEST)
-        v = jax.lax.complex(vr, vi)
+        # Accumulate P shifted frame VIEWS times one tap row each — pure
+        # slices + elementwise FMA, no gather (a [M, P] advanced-index
+        # gather measured ~600x off the HBM roofline on TPU) and no
+        # materialized [S, M, P, K] window stack (the stacked-einsum
+        # formulation paid ~4 ms/block writing+reading the P-times-
+        # redundant stack at K=4096; direct accumulation is ~free on top
+        # of the streaming reads — scratch probe, 2026-08).
+        hrev = self.h_poly[::-1, ::-1]            # [P, K], both axes reversed
+        fr, fi = jnp.real(frames), jnp.imag(frames)
+        ur = jnp.zeros((S, M, K), jnp.float32)
+        ui = jnp.zeros((S, M, K), jnp.float32)
+        for p in range(P):
+            w = hrev[p]
+            ur = ur + fr[:, p:p + M] * w
+            ui = ui + fi[:, p:p + M] * w
+        v = jax.lax.complex(ur[..., ::-1], ui[..., ::-1])
         y = jnp.fft.ifft(v, axis=-1) * K          # [S, M, K]
         ang = (2.0 * np.pi / K) * jnp.arange(K, dtype=jnp.float32)
         rot = jax.lax.complex(jnp.cos(ang), jnp.sin(ang)).astype(y.dtype)
@@ -150,18 +157,32 @@ class OversampledPFB:
         # reshaped window against the unreversed h_poly realises the
         # (P-1-p, K-1-q) index flips in one einsum.
         # windows of length P*K at hop M = K/2 == 2P shifted half-frame
-        # VIEWS stacked and re-fused — pure slices, no gather (the
-        # [n_out, P*K] advanced-index gather formulation was ~37 ms for
-        # [1, 64, 32768] on TPU vs <1 ms for the view stack: 2M complex
-        # element gathers vs a strided copy)
+        # VIEWS, each multiplied by one half-row of taps and accumulated —
+        # pure slices + elementwise FMA.  No gather (the [n_out, P*K]
+        # advanced-index gather formulation was ~37 ms for [1, 64, 32768]
+        # on TPU vs <1 ms for views: 2M complex element gathers vs a
+        # strided copy) and no materialized [S, n_out, P, K] stack (the
+        # stacked-einsum formulation paid ~4.2 ms/block of stack
+        # write+read traffic at K=4096; accumulation measured ~0.05 ms
+        # marginal — scratch probe, 2026-08).  Half-frame hh of output
+        # frame m pairs view G[2p+hh : 2p+hh+n_out] with tap half-row
+        # hrev[p, hh*M:(hh+1)*M]; the trailing axis reversal realises the
+        # (K-1-q) commutator flip once at the end.
         G = ext.reshape(S, n_out + 2 * P - 1, M)
-        win = jnp.stack([G[:, v:v + n_out] for v in range(2 * P)],
-                        axis=2)                    # [S, n_out, 2P, M]
-        win = win.reshape(S, n_out, P, K)[:, :, ::-1, ::-1]
-        vr = jnp.einsum("smpk,pk->smk", jnp.real(win), self.h_poly,
-                        precision=jax.lax.Precision.HIGHEST)
-        vi = jnp.einsum("smpk,pk->smk", jnp.imag(win), self.h_poly,
-                        precision=jax.lax.Precision.HIGHEST)
+        Gr, Gi = jnp.real(G), jnp.imag(G)
+        hrev = self.h_poly[::-1, ::-1]             # [P, K] both axes reversed
+        halves_r, halves_i = [], []
+        for hh in range(2):
+            ur = jnp.zeros((S, n_out, M), jnp.float32)
+            ui = jnp.zeros((S, n_out, M), jnp.float32)
+            for p in range(P):
+                w = hrev[p, hh * M:(hh + 1) * M]
+                ur = ur + Gr[:, 2 * p + hh: 2 * p + hh + n_out] * w
+                ui = ui + Gi[:, 2 * p + hh: 2 * p + hh + n_out] * w
+            halves_r.append(ur)
+            halves_i.append(ui)
+        vr = jnp.concatenate(halves_r, axis=-1)[..., ::-1]
+        vi = jnp.concatenate(halves_i, axis=-1)[..., ::-1]
         v = jax.lax.complex(vr, vi)
         y = jnp.fft.ifft(v, axis=-1) * K           # [S, n_out, K]
         # constant per-channel phase from the history alignment ...
