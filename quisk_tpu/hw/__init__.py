@@ -10,15 +10,18 @@ plane (quisk_tpu.io.native framing + ring buffers) is shared.
 
 from quisk_tpu.hw.base import (FileHardware, Hardware, SimHardware,
                                get_hardware, register_hardware)
+from quisk_tpu.hw.afedri import AfedriHardware
 from quisk_tpu.hw.fifisdr import FifiSdrHardware
 from quisk_tpu.hw.hamlib_hw import HamlibHardware
 from quisk_tpu.hw.hermes import HermesControl, HermesHardware
 from quisk_tpu.hw.hiqsdr import HiqsdrControl, HiqsdrHardware
 from quisk_tpu.hw.hl2_oob import HermesLite2OOBHardware
 from quisk_tpu.hw.multus import MultusHardware
+from quisk_tpu.hw.perseus import PerseusHardware
 from quisk_tpu.hw.sdr8600 import Sdr8600Hardware
 from quisk_tpu.hw.sdriq import SdriqHardware
 from quisk_tpu.hw.sdrmicron import MicronFramer, SdrMicronHardware
+from quisk_tpu.hw.soapy import SoapyHardware
 from quisk_tpu.hw.softrock import SoftrockHardware
 
 __all__ = [
@@ -28,4 +31,5 @@ __all__ = [
     "SoftrockHardware", "SdriqHardware", "SdrMicronHardware",
     "MicronFramer", "MultusHardware", "FifiSdrHardware",
     "Sdr8600Hardware", "HamlibHardware", "HermesLite2OOBHardware",
+    "AfedriHardware", "PerseusHardware", "SoapyHardware",
 ]
