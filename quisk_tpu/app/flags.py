@@ -263,12 +263,15 @@ _f("lin_quisk_serial_port", _TEXT, "", "serial port polled for a CW key "
    "and PTT (Linux)")
 _f("win_quisk_serial_port", _TEXT, "", "serial port polled for CW/PTT "
    "(Windows)")
+# choice strings are the reference's exact config values
+# (quisk_conf_defaults.py:1878-1891) so existing configs load, and
+# SerialKey._parse's '"when low"' polarity test matches them
 _f("quisk_serial_cts", _TCHOICE, "None", "what the CTS line signals",
-   ("None", "CW", "PTT", "CW when down", "CW when up",
-    "PTT when down", "PTT when up"))
+   ("None", "CW", "PTT", "CW when high", "CW when low",
+    "PTT when high", "PTT when low"))
 _f("quisk_serial_dsr", _TCHOICE, "None", "what the DSR line signals",
-   ("None", "CW", "PTT", "CW when down", "CW when up",
-    "PTT when down", "PTT when up"))
+   ("None", "CW", "PTT", "CW when high", "CW when low",
+    "PTT when high", "PTT when low"))
 _f("hot_key_ptt1", _KEYCODE, None, "PTT hot key code")
 _f("hot_key_ptt2", _KEYCODE, None, "PTT hot key modifier")
 _f("hot_key_ptt_toggle", _BOOL, False, "hot key toggles PTT instead of "

@@ -78,6 +78,7 @@ class Radio:
         # outputs stay unscaled like the reference's sound routing)
         self.volume = 1.0
         self.muted = False
+        self.cat_ptt = False             # PTT latched by a CAT client
         if settings is not None:
             self.volume = float(settings.get_state().get("volume", 1.0))
         self.chain = RxChain.create(self.rx_cfg, tune_hz=self.offsets,
@@ -162,8 +163,19 @@ class Radio:
         self.freq_hz = float(freq_hz)
         offset = self.freq_hz - self.vfo_hz
         if abs(offset) > 0.45 * self.cfg.sample_rate:
+            old_vfo = self.vfo_hz
             self.vfo_hz = self.freq_hz
             offset = 0.0
+            # sub-receivers hold their ABSOLUTE frequency across the VFO
+            # recenter (offsets are VFO-relative); one that no longer fits
+            # the capture passband is clamped to its edge and counted
+            half = 0.5 * self.cfg.sample_rate
+            for c in range(1, len(self.offsets)):
+                new_off = (old_vfo + self.offsets[c]) - self.vfo_hz
+                if abs(new_off) > half:
+                    new_off = float(np.clip(new_off, -half, half))
+                    self.status.count("subrx_out_of_band")
+                self.offsets[c] = new_off
         self.cfg.tune_hz = offset
         self.offsets[0] = offset
         self.hw.ChangeFrequency(int(self.freq_hz), int(self.vfo_hz))
@@ -392,6 +404,20 @@ class Radio:
             self.set_frequency(value)
         elif field == "mode":
             self.set_mode(value)
+        elif field == "volume":
+            self.set_volume(float(value))
+        elif field == "band":
+            try:
+                self.set_band(str(value))
+            except (KeyError, ValueError):
+                pass                     # unknown band id: ignore like quisk
+        elif field == "ptt":
+            # latched into the next transmit() like the serial key; with
+            # no TX DSP configured, key the hardware line directly
+            # (quisk.py:6695 SetPTT from CAT handlers)
+            self.cat_ptt = bool(value)
+            if getattr(self, "tx", None) is None:
+                self.hw.OnButtonPTT(self.cat_ptt)
 
     def _cat_state(self):
         """One RadioState shared by every CAT surface (rigctld, serial
@@ -495,8 +521,11 @@ class Radio:
             # (quisk.c:2537-2652 split/multirx on the same samples)
             x = np.broadcast_to(x, (self.chain.channels, x.shape[1]))
         if self._dirty:
-            self._pchain = pack_tree(self.chain)
+            # clear BEFORE packing: a retune from a CAT/TCI/webui server
+            # thread that lands mid-pack re-sets the flag and the next
+            # block repacks, instead of being lost to pack-then-clear
             self._dirty = False
+            self._pchain = pack_tree(self.chain)
         self._pstate, audio = self._step(self._pchain, self._pstate,
                                          pack_tree(x.astype(np.complex64)))
         from quisk_tpu.utils.boundary import CPair
@@ -691,6 +720,7 @@ class Radio:
             k, p = self.serial_key.poll()
             cw_key = cw_key or k
             ptt = ptt or p
+        ptt = ptt or self.cat_ptt        # TX;/ZZTX1; from a CAT client
         vox = self.vox.process(mic_block)
         if not self.ptt.process(ptt=ptt, cw_key=cw_key, vox=vox):
             return None

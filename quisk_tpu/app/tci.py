@@ -289,7 +289,11 @@ class _TciHandler(socketserver.StreamRequestHandler):
             cmd = cmd.strip()
             if not cmd:
                 continue
-            if self._command(srv, st, cmd):
+            try:
+                ok = self._command(srv, st, cmd)
+            except (ValueError, KeyError, IndexError, TypeError):
+                ok = False       # malformed args: drop the command, not
+            if ok:               # the connection (tci.c ignores bad text)
                 srv.broadcast(cmd + ";")
 
     # -- command dispatch (tci.c:171-324 text_message) ---------------------
@@ -316,9 +320,10 @@ class _TciHandler(socketserver.StreamRequestHandler):
                     return True
                 return False               # unsupported type: no echo
             if name == "audio_samplerate":
-                if args and args[0].isdigit() and int(args[0]) in (
-                        8000, 12000, 24000, 48000):
-                    ctx.samplerate = int(args[0])
+                # only the native 48 k: we do not resample the stream, and
+                # neither does the reference (tci.c:220-222 rejects !=48000)
+                if args and args[0].isdigit() and int(args[0]) == 48000:
+                    ctx.samplerate = 48000
                     return True
                 return False
             if name == "audio_stream_channels":

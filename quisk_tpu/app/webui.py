@@ -270,6 +270,13 @@ class WebUIServer:
             msg = json.loads(text)
         except ValueError:
             return
+        try:
+            self._dispatch(msg)
+        except (KeyError, TypeError, ValueError, IndexError, AttributeError):
+            # malformed-but-valid-JSON command: drop it, keep the socket
+            return
+
+    def _dispatch(self, msg: dict) -> None:
         cmd = msg.get("cmd")
         if cmd == "freq":
             self.control.set_frequency(float(msg["value"]))

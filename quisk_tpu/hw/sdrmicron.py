@@ -188,6 +188,7 @@ class SdrMicronHardware(Hardware):
         self.enable = False
         self.bscope_enable = False
         self.framer = MicronFramer(wide=self._wide())
+        self._rxbuf = np.zeros(0, np.complex64)
 
     # -- wire helpers -----------------------------------------------------
     def _wide(self) -> bool:
@@ -260,5 +261,14 @@ class SdrMicronHardware(Hardware):
         self.framer.feed(data)
 
     def read_samples(self, n: int) -> np.ndarray | None:
+        """Exactly ``n`` samples as [1, n], or None until enough arrived
+        (the Hardware contract Radio.run_once's fixed-shape jitted step
+        depends on: frames are 82/123 samples, blocks are thousands)."""
         got = self.framer.take_samples()
-        return got[None] if len(got) else None
+        if len(got):
+            self._rxbuf = (np.concatenate([self._rxbuf, got])
+                           if len(self._rxbuf) else got)
+        if len(self._rxbuf) < n:
+            return None
+        out, self._rxbuf = self._rxbuf[:n], self._rxbuf[n:]
+        return out[None]

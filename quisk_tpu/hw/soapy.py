@@ -51,6 +51,7 @@ class SoapyHardware(Hardware):
         self.fVFO = 0.0                # float VFO (quisk_hardware.py:23)
         self.rx_rate = 48000.0
         self._stream = None
+        self._rxbuf = np.zeros(0, np.complex64)
 
     # ---- parameter surface ----------------------------------------------
     def _apply(self, settings: dict) -> None:
@@ -135,11 +136,23 @@ class SoapyHardware(Hardware):
             d.activateStream(self._stream)
 
     def read_samples(self, n: int) -> np.ndarray | None:
+        """Exactly ``n`` samples as [1, n], buffering short reads, or None
+        until enough arrived (Radio.run_once's jitted step is compiled for
+        a fixed block shape).  ``readStream`` may return an int count (the
+        test double / an adapter) or a SoapySDR ``StreamResult`` whose
+        ``ret`` field is the count or a negative error code."""
         d = self.device
         if d is None or self._stream is None:
             return None
-        buf = np.empty(n, np.complex64)
-        got = d.readStream(self._stream, buf, n)
-        if got <= 0:
+        while len(self._rxbuf) < n:
+            buf = np.empty(n, np.complex64)
+            res = d.readStream(self._stream, buf, n)
+            got = int(getattr(res, "ret", res))
+            if got <= 0:
+                break
+            self._rxbuf = (np.concatenate([self._rxbuf, buf[:got]])
+                           if len(self._rxbuf) else buf[:got].copy())
+        if len(self._rxbuf) < n:
             return None
-        return buf[None, :got]
+        out, self._rxbuf = self._rxbuf[:n], self._rxbuf[n:]
+        return out[None]

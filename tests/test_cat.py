@@ -214,3 +214,58 @@ def test_radio_cat_surfaces_share_one_state():
         s.close()
     finally:
         radio.close()
+
+
+def test_radio_cat_ptt_volume_band_wiring():
+    """CAT set-commands beyond freq/mode actually reach the radio: ZZTX
+    latches PTT into transmit(), ZZAG moves the playback volume, ZZBS
+    switches bands (quisk.py:6695 SetPTT / sliderVol / ChangeBand)."""
+    cfg = RadioConfig(sample_rate=48000.0, audio_block=2048, mode="USB",
+                      tune_hz=10000.0)
+    radio = Radio(cfg, hardware="sim")
+    radio.open()
+    try:
+        p = FlexZZProtocol(state=radio._cat_state())
+        # PTT on: latched for the next transmit() (no TX chain here,
+        # so the hardware PTT line is keyed directly)
+        p.handle("ZZTX1")
+        assert radio.cat_ptt is True
+        p.handle("ZZTX0")
+        assert radio.cat_ptt is False
+        # volume
+        p.handle("ZZAG025")
+        assert abs(radio.volume - 0.25) < 1e-9
+        # band switch restores the band-memory rule (first visit: center)
+        p.handle("ZZBS020")
+        assert radio.band == "20"
+        assert radio.cfg.mode == "USB"          # >9 MHz default
+        assert radio.vfo_hz > 9_000_000
+    finally:
+        radio.close()
+
+
+def test_radio_vfo_recenter_keeps_subrx_absolute():
+    """When a CAT tune recenters the VFO, sub-receivers keep their
+    ABSOLUTE frequency (their offsets are VFO-relative); one that no
+    longer fits the passband is clamped and counted."""
+    cfg = RadioConfig(sample_rate=48000.0, audio_block=2048, mode="USB",
+                      tune_hz=0.0, channels=3)
+    radio = Radio(cfg, hardware="sim")
+    radio.open()
+    try:
+        radio.set_frequency(7_050_000)          # recenters VFO to 7.05 M
+        radio.set_sub_rx(1, freq_hz=7_060_000.0, mode="AM")
+        radio.set_sub_rx(2, freq_hz=7_070_000.0, mode="USB")
+        radio.set_frequency(7_080_000)          # 30 k offset > 21.6 k
+        assert radio.vfo_hz == 7_080_000.0
+        # sub-RX 1 still points at 7.060 MHz in absolute terms
+        assert radio.vfo_hz + radio.offsets[1] == 7_060_000.0
+        # sub-RX 2 (7.070 M): within half-rate, also preserved
+        assert radio.vfo_hz + radio.offsets[2] == 7_070_000.0
+        # push far enough that a sub-RX falls outside the passband
+        radio.set_frequency(7_150_000)
+        assert radio.vfo_hz == 7_150_000.0
+        assert abs(radio.offsets[1]) <= 0.5 * cfg.sample_rate
+        assert radio.status.snapshot().get("subrx_out_of_band", 0) >= 1
+    finally:
+        radio.close()

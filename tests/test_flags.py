@@ -103,3 +103,23 @@ def test_radioconfig_from_flags_and_settings(tmp_path):
     assert s2.get_radio("r1").cw_pitch == 650.0
     assert s2.get_flags("r1").sample_rate == 192000
     assert s2.get_flags("other").sample_rate == 48000   # defaults
+
+
+def test_serial_cts_choices_match_reference_and_serialkey(tmp_path):
+    """The CTS/DSR choice strings are the reference's exact config values
+    (quisk_conf_defaults.py:1878-1891 'CW when high/low'), so existing
+    configs load AND SerialKey's polarity parser understands the registry's
+    own values."""
+    from quisk_tpu.app.cw import SerialKey
+
+    p = tmp_path / "quisk_conf.py"
+    p.write_text('quisk_serial_cts = "CW when low"\n'
+                 'quisk_serial_dsr = "PTT when high"\n')
+    fl, unknown = F.load_config_file(str(p), strict=True)
+    assert fl.quisk_serial_cts == "CW when low"
+    assert unknown == []
+    # every registry choice parses to the intended (use, invert) pair
+    for choice in F.REGISTRY["quisk_serial_cts"].choices:
+        use, invert = SerialKey._parse(choice)
+        assert use in "NCP"
+        assert invert == ("when low" in choice)

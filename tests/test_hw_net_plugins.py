@@ -245,3 +245,39 @@ def test_soapy_frequency_and_stream():
     hw.close()
     assert not d.stream_active
     assert SoapyHardware(device=None).open() == "Soapy module not available"
+
+
+def test_soapy_read_samples_buffers_and_streamresult():
+    """read_samples returns exactly n, buffering short reads, and accepts
+    the real SoapySDR return convention (a StreamResult whose .ret is the
+    count or a negative error code) as well as a plain int."""
+    class SR:                      # SoapySDR.StreamResult-alike
+        def __init__(self, ret): self.ret = ret
+
+    class ShortReadDevice(FakeSoapyDevice):
+        def __init__(self):
+            super().__init__()
+            self.served = 0
+            self.chunk = 7         # short reads of 7 samples at a time
+            self.limit = None      # then dry up
+
+        def readStream(self, s, buf, n):
+            if self.limit is not None and self.served >= self.limit:
+                return SR(0)       # SOAPY timeout: nothing this call
+            k = min(self.chunk, n)
+            buf[:k] = (np.arange(k) + self.served).astype(np.complex64)
+            self.served += k
+            return SR(k)
+
+    d = ShortReadDevice()
+    hw = SoapyHardware(device=d)
+    hw.StartSamples()
+    got = hw.read_samples(16)                  # 3 reads of 7 -> 21 >= 16
+    assert got is not None and got.shape == (1, 16)
+    np.testing.assert_allclose(got[0], np.arange(16))
+    d.limit = d.served                          # device dries up
+    assert hw.read_samples(16) is None          # 5 buffered, not enough
+    d.limit = None
+    got2 = hw.read_samples(16)                  # 5 buffered + fresh reads
+    assert got2 is not None and got2.shape == (1, 16)
+    np.testing.assert_allclose(got2[0], np.arange(16, 32))

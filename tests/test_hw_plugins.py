@@ -289,3 +289,24 @@ def test_hl2_pa_gating():
     hw.power_amp_wanted = False            # user disabled PA entirely
     hw.HeartBeat()
     assert not hw.pa_enabled()
+
+
+def test_micron_read_samples_exact_block():
+    """read_samples honours its ``n`` contract (Radio.run_once feeds a
+    fixed-shape jitted step): frames accumulate until n are ready, the
+    remainder stays buffered."""
+    sink = Sink()
+    hw = get_hardware("sdrmicron")(transport=sink)
+    rng = np.random.default_rng(7)
+    iq = (rng.uniform(-0.9, 0.9, 82)
+          + 1j * rng.uniform(-0.9, 0.9, 82)).astype(np.complex64)
+    hw.feed(sm.pack_rx_frame(iq))
+    assert hw.read_samples(100) is None          # one 82-sample frame < 100
+    hw.feed(sm.pack_rx_frame(iq))
+    blk = hw.read_samples(100)
+    assert blk is not None and blk.shape == (1, 100)
+    np.testing.assert_allclose(blk[0, :82], iq, atol=2.0 / (1 << 23))
+    blk2 = hw.read_samples(64)                   # 164 - 100 = 64 buffered
+    assert blk2 is not None and blk2.shape == (1, 64)
+    np.testing.assert_allclose(blk2[0, -46:], iq[-46:], atol=2.0 / (1 << 23))
+    assert hw.read_samples(1) is None

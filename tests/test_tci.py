@@ -173,6 +173,8 @@ def test_tci_rx_audio_negotiation_and_chunking():
     try:
         c = WsClient(port)
         c.recv_until("start;")
+        # 24000 is REJECTED (no resampler here nor in the reference,
+        # tci.c:220-222): the stream stays at the native 48 k
         c.send_text("audio_stream_channels:1;audio_samplerate:24000;"
                     "audio_start:0;")
         c.recv_until("audio_start:0;")
@@ -184,7 +186,7 @@ def test_tci_rx_audio_negotiation_and_chunking():
         while sum(d.size for *_, d in got) < n:
             rx, rate, fmt, length, typ, chans, data = unpack_stream(
                 c.recv_binary())
-            assert typ == RX_AUDIO_STREAM and chans == 1 and rate == 24000
+            assert typ == RX_AUDIO_STREAM and chans == 1 and rate == 48000
             assert len(data) * 4 <= TCI_STREAM_DATA_BYTES
             got.append((rx, rate, fmt, length, typ, chans, data))
         mono = np.concatenate([d for *_, d in got])
@@ -275,3 +277,40 @@ def test_tci_radio_integration():
         c.close()
     finally:
         radio.close()
+
+
+def test_tci_malformed_commands_keep_connection():
+    """Malformed args (bad VFO index, non-numeric fields) drop the command
+    instead of killing the client's connection; the reference likewise
+    ignores unparseable text (tci.c:171-324)."""
+    srv = TciServer(port=0)
+    port = srv.start()
+    try:
+        c = WsClient(port)
+        c.recv_until("start;")
+        c.send_text("vfo:5,0,7000000;")          # receiver index out of range
+        c.send_text("vfo:0,0,notanumber;")       # uncastable frequency
+        c.send_text("trx:banana;")               # uncastable index
+        # the connection survives: a good command still round-trips
+        c.send_text("vfo:0,0,7074000;")
+        assert c.recv_until("vfo:0,0,7074000;")
+        assert srv.state.vfo[0][0] == 7074000
+        c.close()
+    finally:
+        srv.stop()
+
+
+def test_tci_audio_samplerate_only_48k():
+    """audio_samplerate accepts only the native 48 k — we do not resample
+    the stream and neither does the reference (tci.c:220-222)."""
+    srv = TciServer(port=0)
+    port = srv.start()
+    try:
+        c = WsClient(port)
+        c.recv_until("start;")
+        c.send_text("audio_samplerate:12000;")   # rejected: no echo
+        c.send_text("audio_samplerate:48000;")
+        assert c.recv_until("audio_samplerate:48000;")
+        c.close()
+    finally:
+        srv.stop()

@@ -186,3 +186,19 @@ def test_webui_volume_mute_band_commands():
         ws.s.close()
     finally:
         radio.close()
+
+
+def test_malformed_commands_do_not_raise():
+    """Valid-JSON-but-malformed commands (missing keys, wrong types) are
+    dropped instead of raising out of the WS loop and killing the page's
+    connection."""
+    srv = WebUIServer(FakeRadio())
+    for text in ('{"cmd": "freq"}',                      # missing value
+                 '{"cmd": "freq", "value": "abc"}',      # uncastable
+                 '{"cmd": "subrx"}',                     # missing channel
+                 '{"cmd": "mode", "value": "NOPE"}',     # unknown mode
+                 '{"cmd": 7}', '[]', '"x"', 'not json'):
+        srv.on_command(text)                             # must not raise
+    # and a good command still works after the bad ones
+    srv.on_command('{"cmd": "freq", "value": 7100000}')
+    assert ("freq", 7100000.0) in srv.control.calls
