@@ -288,12 +288,14 @@ class AutoNotch:
 
     def __call__(self, state, a: jnp.ndarray):
         spec_ema, hist = state
-        # update smoothed spectrum from this block
-        A = jnp.abs(jnp.fft.rfft(a, n=self.nfft, axis=-1)) ** 2
-        spec_ema = self.ema * spec_ema + (1.0 - self.ema) * A
-        H = self._design_mask(spec_ema)
         xe = jnp.concatenate([hist, a], axis=-1)
         X = jnp.fft.rfft(xe, n=self.nfft, axis=-1)
+        # the smoothed detection spectrum reuses the apply-pass FFT (one
+        # rfft per block instead of two): xe spans [prev tail | block] of
+        # the same stream, an equally good estimator of PERSISTENT tones,
+        # which are all the notch designer looks for
+        spec_ema = self.ema * spec_ema + (1.0 - self.ema) * jnp.abs(X) ** 2
+        H = self._design_mask(spec_ema)
         y = jnp.fft.irfft(X * H, n=self.nfft, axis=-1)
         y = y[:, self.ntaps - 1: self.ntaps - 1 + self.block]
         # compensate the FIR group delay bookkeeping: output aligned to input
