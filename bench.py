@@ -95,16 +95,18 @@ def _build_flagship():
 
 def bench_flagship(iters: int = 50, latency: bool = False,
                    nblk: int | None = None) -> dict:
-    """nblk=None measures BOTH 1 and 4 blocks/dispatch and reports the
+    """nblk=None measures 1, 4 and 8 blocks/dispatch and reports the
     best: on a quiet tunnel the async dispatch pipeline already overlaps
     the ~3.6 ms floor and nblk=1 schedules slightly better (4308 vs 3986
     Msps), but under external contention the runtime serializes round
-    trips (~14-70 ms/dispatch) and batching 4 blocks per dispatch
-    amortizes exactly that."""
+    trips (~14-70 ms/dispatch) and batching blocks per dispatch amortizes
+    exactly that (measured contended: 1939 Msps best-of-{1,4} vs 3413 at
+    nblk=8; 16 blocks would put the f32-pair input alone at 2.7 GB)."""
     if nblk is None:
-        a = bench_flagship(iters, latency, nblk=1)
-        b = bench_flagship(max(8, iters // 4), latency, nblk=4)
-        return a if a["value"] >= b["value"] else b
+        cands = [bench_flagship(iters, latency, nblk=1)]
+        cands += [bench_flagship(max(8, iters // k), latency, nblk=k)
+                  for k in (4, 8)]
+        return max(cands, key=lambda r: r["value"])
     # No complex64 may cross the host<->device boundary on the axon TPU
     # runtime: chain/state/input are packed into (re, im) float32 pairs and
     # rebuilt with lax.complex inside jit (quisk_tpu.utils.boundary).
