@@ -98,6 +98,50 @@ def imd_demo():
     return before, after
 
 
+def live_session(blocks: int = 20):
+    """Mic-file -> TX -> simulated PA -> RX loopback, LIVE through the
+    full-duplex Radio.run_once block loop: the paced capture thread feeds
+    the mic, PTT keys the loop, the loopback hardware plays the PA output
+    back at the dial offset, and tx_monitor (the reference's DEBUG_MIC
+    self-test, sound.c:886-888) lets us hear our own demodulated signal.
+    Returns (mic voice, demodulated audio, smeter dB while transmitting)."""
+    import time
+
+    from quisk_tpu.app.config import RadioConfig
+    from quisk_tpu.app.radio import Radio
+    from quisk_tpu.io import sources
+
+    B = 2048
+    # agc off so the recovered audio keeps the voice envelope (AGC rides
+    # syllables; its conformance is tested separately in test_wcpagc.py)
+    cfg = RadioConfig(sample_rate=48000.0, audio_block=B, mode="USB",
+                      tune_hz=9000.0, agc=False)
+    radio = Radio(cfg, hardware="loopback")
+    radio.open()
+    radio.enable_tx()
+    radio.tx_monitor = True
+    # warm the compiled RX and TX paths BEFORE starting the paced mic:
+    # first-call compilation stalls the loop for seconds, and the capture
+    # thread (correctly) ages out a bounded-latency buffer meanwhile
+    radio.run_once()
+    radio.transmit(np.zeros(radio.tx.block, np.float32), ptt=True)
+    voice = sources.voice_like(48000.0, blocks * B, band=(400.0, 2300.0))
+    voice = (0.5 * voice / np.max(np.abs(voice))).astype(np.float32)
+    radio.enable_mic(voice, latency_ms=2000.0)
+    t0 = time.time()
+    while radio.mic.fill < blocks * radio.tx.block and time.time() - t0 < 8.0:
+        time.sleep(0.01)
+    radio.set_ptt(True)
+    outs = []
+    for _ in range(blocks):
+        outs.append(radio.run_once()[0])
+    smeter = radio.smeter_db()
+    radio.set_ptt(False)
+    radio.run_once()
+    radio.close()
+    return voice, np.concatenate(outs), smeter
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out-dir", default="/tmp/quisk_tpu_demo_tx")
@@ -121,6 +165,14 @@ def main():
     before, after = imd_demo()
     print(f"two-tone IMD through PA: {before:.1f} dBc raw, "
           f"{after:.1f} dBc with PureSignal predistortion")
+
+    voice, audio, smeter = live_session()
+    path = os.path.join(args.out_dir, "live_loopback.wav")
+    write_audio_wav(path, audio / max(1e-9, float(np.max(np.abs(audio)))),
+                    48000.0)
+    print(f"live full-duplex session: mic-file -> TX -> PA -> RX loopback, "
+          f"own signal S-meter {smeter:.1f} dBFS, audio rms "
+          f"{np.std(audio[4 * 2048:]):.3f} -> {path}")
 
 
 if __name__ == "__main__":

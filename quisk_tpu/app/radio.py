@@ -79,6 +79,11 @@ class Radio:
         self.volume = 1.0
         self.muted = False
         self.cat_ptt = False             # PTT latched by a CAT client
+        self.manual_ptt = False          # the PTT button (set_ptt)
+        self.manual_key = False          # a host-driven CW key (set_cw_key)
+        self._keyed = False              # current TX state of the loop
+        self.mic = None                  # AudioCapture (enable_mic)
+        self.tx_iq_last = None           # most recent transmitted IQ block
         if settings is not None:
             self.volume = float(settings.get_state().get("volume", 1.0))
         self.chain = RxChain.create(self.rx_cfg, tune_hz=self.offsets,
@@ -96,7 +101,8 @@ class Radio:
                                   channels=C, sample_rate=cfg.sample_rate,
                                   refresh_hz=cfg.graph_refresh_hz)
         self.waterfall = WaterfallRenderer(pixels=1024)
-        self._step = make_boundary_step(lambda ch, s, xx: ch.step(s, xx))
+        self._step = make_boundary_step(
+            lambda ch, s, xx, kd: ch.step(s, xx, key_down=kd))
         self._pchain = pack_tree(self.chain)
         self._pstate = pack_tree(self.chain.init_state())
         self._dirty = False
@@ -150,6 +156,9 @@ class Radio:
         if getattr(self, "serial_key", None) is not None:
             self.serial_key.close()
             self.serial_key = None
+        if self.mic is not None:
+            self.mic.stop()
+            self.mic = None
         if self.settings is not None:
             self.settings.save()
 
@@ -509,9 +518,16 @@ class Radio:
     # ---- the block loop (the reference's sound-thread iteration) ---------
     def run_once(self) -> np.ndarray | None:
         """Pull one block from hardware through the chain; feeds the
-        spectrum/waterfall; returns the audio block (or None if starved)."""
+        spectrum/waterfall; returns the audio block (or None if starved).
+
+        Full duplex like the reference's ONE loop iteration (quisk.c:2371;
+        sound.c:1034-1186): key sources are polled first; when keyed the
+        mic section runs (mic -> TX chain -> hardware IQ) and the RX audio
+        is replaced by sidetone/silence under 5 ms envelopes; on release
+        the keyup envelope restores RX click-free (quisk.c:2711-2738)."""
         if getattr(self, "serial_key", None) is not None:
             self.serial_key.poll()           # sound.c:898 polls every loop
+        keyed, cw_key, mic = self._poll_tx_keys()
         x = self.hw.read_samples(self.chain.block_in)
         if x is None:
             self.status.count("read_starved")
@@ -527,7 +543,8 @@ class Radio:
             self._dirty = False
             self._pchain = pack_tree(self.chain)
         self._pstate, audio = self._step(self._pchain, self._pstate,
-                                         pack_tree(x.astype(np.complex64)))
+                                         pack_tree(x.astype(np.complex64)),
+                                         np.bool_(keyed))
         from quisk_tpu.utils.boundary import CPair
         if isinstance(audio, CPair):     # iq_out chain: complex audio
             audio = np.asarray(audio.re) + 1j * np.asarray(audio.im)
@@ -540,6 +557,8 @@ class Radio:
                 if m == "DGT_IQ":
                     self._digital_out[c] = audio[c]
             audio = np.real(audio)
+        if getattr(self, "tx", None) is not None:
+            audio = self._duplex_audio(np.asarray(audio), keyed, cw_key, mic)
         audio = audio * (0.0 if self.muted else self.volume)
         trace = self.graph.feed(x)
         if trace is not None:
@@ -684,16 +703,28 @@ class Radio:
         return self.serial_key.error
 
     # ---- transmit -------------------------------------------------------
-    def enable_tx(self, tx_rate: float | None = None, **tx_kwargs) -> None:
-        """Attach a transmit chain + PTT controller (mic audio in,
-        modulated IQ out via :meth:`transmit`)."""
+    def enable_tx(self, tx_rate: float | None = None,
+                  sidetone_level: float = 0.3, **tx_kwargs) -> None:
+        """Attach a transmit chain + PTT controller.  TX then runs inside
+        :meth:`run_once` (full duplex, keyed by PTT/CW/VOX/CAT/TCI) and is
+        also callable directly via :meth:`transmit`."""
         from quisk_tpu.tx import TxChain, TxChainConfig
         from quisk_tpu.tx.ptt import PttController, VoxControl
+        # one TX block per RX block keeps the loop real-time balanced
+        # (the reference's mic section consumes one mic block per sound
+        # loop iteration, sound.c:1034)
+        tx_kwargs.setdefault("audio_block", self.chain.block_audio)
         self.tx = TxChain.create(
             TxChainConfig(channels=1, audio_rate=self.cfg.audio_rate,
                           tx_rate=tx_rate or self.cfg.tx_rate, **tx_kwargs),
             mode=int(self.cfg.modes()))
-        self._tx_state = self.tx.init_state()
+        # the TX step crosses the same complex-free jit boundary as RX —
+        # eager per-op dispatch of the ALC scan costs ~1.3 s/block on CPU,
+        # 40x real time; jitted it is ~10 ms
+        self._tx_step = make_boundary_step(lambda tx, s, a: tx.step(s, a))
+        self._ptx_src = self.tx
+        self._ptx = pack_tree(self.tx)
+        self._tx_state = pack_tree(self.tx.init_state())
         if self.settings is not None:
             saved = self.settings.get_state().get("tx_ampl_phase")
             if saved:
@@ -701,8 +732,19 @@ class Radio:
         self.ptt = PttController(self.cfg.audio_rate, self.tx.block,
                                  max_tx_secs=600.0)
         self.vox = VoxControl(self.cfg.audio_rate, self.tx.block)
-        from quisk_tpu.app.cw import KeyEnvelope
+        self.vox_enabled = False         # the VOX button (quisk.py VOX ctrl)
+        from quisk_tpu.app.cw import KeyEnvelope, Sidetone
         self._cw_env = KeyEnvelope(self.cfg.audio_rate)
+        # half-duplex audio switching (quisk.c:2371-2433): a 5 ms envelope
+        # fades RX audio out on key-down and back in on key-up, and the
+        # sidetone (sound.c:679) replaces it in CW modes
+        self._rx_key_env = KeyEnvelope(self.cfg.audio_rate)
+        self.sidetone = Sidetone(self.cfg.audio_rate,
+                                 pitch_hz=self.rx_cfg.cw_pitch,
+                                 level=sidetone_level)
+        # DEBUG_MIC-style monitor (sound.c:886): keep RX audio live while
+        # transmitting so you hear your own demodulated signal
+        self.tx_monitor = False
         # per-family settings seeded from the built chain's config so a
         # mode change to an untouched family restores the configured values
         seed = {"clip_db": float(tx_kwargs.get("compress_db", 0.0)),
@@ -721,19 +763,126 @@ class Radio:
             cw_key = cw_key or k
             ptt = ptt or p
         ptt = ptt or self.cat_ptt        # TX;/ZZTX1; from a CAT client
-        vox = self.vox.process(mic_block)
+        vox = self.vox.process(mic_block) and self.vox_enabled
         if not self.ptt.process(ptt=ptt, cw_key=cw_key, vox=vox):
             return None
         self.hw.OnButtonPTT(True)
+        iq = self._run_tx_block(mic_block, cw_key)
+        self._send_tx_iq(iq)
+        return iq
+
+    def _run_tx_block(self, mic_block: np.ndarray, cw_key: bool) -> np.ndarray:
+        """mic [block] -> IQ [block_tx] through the TX chain; in CW modes
+        the chain's audio input is the key envelope, shaped with the 5 ms
+        raised-cosine ramps (quisk.c:2386/2408) so the keyed carrier never
+        clicks."""
         if self.cfg.mode in ("CWU", "CWL"):
-            # CW: the chain's audio input is the key envelope, shaped with
-            # the 5 ms raised-cosine ramps (quisk.c:2386/2408) so the keyed
-            # carrier never clicks
             key = np.full(self.tx.block, 1.0 if cw_key else 0.0, np.float32)
             mic_block = self._cw_env.process(key)
-        self._tx_state, iq = self.tx.step(
-            self._tx_state, np.asarray(mic_block, np.float32)[None])
+        if self._ptx_src is not self.tx:     # chain replaced (data-only)
+            self._ptx_src = self.tx
+            self._ptx = pack_tree(self.tx)
+        self._tx_state, iq = self._tx_step(
+            self._ptx, self._tx_state,
+            np.asarray(mic_block, np.float32)[None])
+        from quisk_tpu.utils.boundary import CPair
+        if isinstance(iq, CPair):
+            return np.asarray(iq.re)[0] + 1j * np.asarray(iq.im)[0]
         return np.asarray(iq)[0]
+
+    def _send_tx_iq(self, iq: np.ndarray) -> None:
+        """Hand one transmitted IQ block to the hardware plugin (the TX
+        half of the sound loop, sound.c:1151-1186: play_samples /
+        tx_udp send) and remember it for taps/tests."""
+        self.tx_iq_last = iq
+        w = getattr(self.hw, "write_samples", None)
+        if w is not None:
+            w(iq)
+
+    # ---- full-duplex key polling + audio switching -----------------------
+    def set_ptt(self, pressed: bool) -> None:
+        """The PTT button (quisk.py OnButtonPTT): keys the next loop
+        iterations until released."""
+        self.manual_ptt = bool(pressed)
+
+    def set_cw_key(self, down: bool) -> None:
+        """A host-driven CW key (remote/MIDI keyers enter here; hardware
+        keys come via enable_serial_key)."""
+        self.manual_key = bool(down)
+
+    def set_vox(self, enabled: bool, threshold: float | None = None,
+                hold_secs: float | None = None) -> None:
+        """The VOX button + level controls (quisk.py VOX button,
+        microphone.c:1150-1175): when enabled, mic level keys the TX."""
+        self.vox_enabled = bool(enabled)
+        if threshold is not None:
+            self.vox.threshold = float(threshold)
+        if hold_secs is not None:
+            self.vox.hold_blocks = max(1, int(round(
+                hold_secs * self.cfg.audio_rate / self.tx.block)))
+
+    def enable_mic(self, source="silence", rate: float | None = None,
+                   latency_ms: float = 500.0) -> None:
+        """Attach a live microphone (sound.c:1034-1094 capture side):
+        ``source`` is 'silence', 'wav:<path>', 'arecord', an array, or a
+        Source object; a capture thread paces it at ``rate`` (default the
+        radio's audio rate) and :meth:`run_once` pulls one TX block per
+        loop while keyed."""
+        from quisk_tpu.io.audio_in import AudioCapture, make_source
+        rate = float(rate or self.cfg.audio_rate)
+        self.mic = AudioCapture(make_source(source, rate), rate,
+                                max_latency_ms=latency_ms)
+        self.mic.start()
+
+    def _poll_tx_keys(self):
+        """Combine every key source into this iteration's TX decision:
+        -> (keyed, cw_key, mic_block|None).  Mirrors the reference's key
+        polling at the top of the sound loop (sound.c:898-920 +
+        quisk_is_key_down)."""
+        if getattr(self, "tx", None) is None:
+            return False, False, None
+        if self.mic is not None:
+            mic = self.mic.get(self.tx.block)
+        else:
+            mic = np.zeros(self.tx.block, np.float32)
+        cw_key = self.manual_key
+        ptt = self.manual_ptt or self.cat_ptt
+        sk = getattr(self, "serial_key", None)
+        if sk is not None:               # already polled this iteration
+            cw_key = cw_key or sk.key_down
+            ptt = ptt or sk.ptt
+        if self.tci is not None and self.tci.state.trx[0]:
+            # a TCI client holds trx: its buffered TX audio is the mic
+            # (tci.c:583 tci_get_mic feeding the mic section)
+            ptt = True
+            mic = np.real(self.tci.get_mic(self.tx.block)).astype(np.float32)
+        vox = self.vox.process(mic) and self.vox_enabled
+        keyed = self.ptt.process(ptt=ptt, cw_key=cw_key, vox=vox)
+        if keyed != self._keyed:
+            self.hw.OnButtonPTT(keyed)   # T/R switch (quisk.py:6695)
+            self._keyed = keyed
+        return keyed, cw_key, mic
+
+    def _duplex_audio(self, audio: np.ndarray, keyed: bool, cw_key: bool,
+                      mic: np.ndarray | None) -> np.ndarray:
+        """The TX half of one loop iteration: fade RX audio out/in with
+        the 5 ms key envelope, substitute the CW sidetone, and while keyed
+        run mic -> TX chain -> hardware IQ (quisk.c:2371-2433 sidetone/
+        silence substitution; 2711-2738 keyup envelope; sound.c:1034-1186
+        mic section)."""
+        if keyed:
+            self._send_tx_iq(self._run_tx_block(mic, cw_key))
+        if self.tx_monitor:              # DEBUG_MIC: hear your own TX
+            return audio
+        n = audio.shape[-1]
+        key_wave = np.full(n, 1.0 if keyed else 0.0, np.float32)
+        env = self._rx_key_env.process(key_wave)
+        if env.max() > 0.0:              # keyed or still ramping back
+            audio = audio * (1.0 - env)[None, :]
+            if self.cfg.mode in ("CWU", "CWL") and self.sidetone.level > 0:
+                st_wave = np.full(n, 1.0 if cw_key else 0.0, np.float32)
+                audio[0] += env * self.sidetone.process(st_wave)
+        return audio
 
     # ---- PureSignal closed loop -----------------------------------------
     def calibrate_puresignal(self, pa, iterations: int = 2,
@@ -765,7 +914,7 @@ class Radio:
                 fbs.append(np.asarray(pa(np.asarray(iq_d)[0])))
             pd = pd.refine(np.concatenate(refs), np.concatenate(fbs))
             self.tx = self.tx.replace(predist=pd)
-        self._tx_state = self.tx.init_state()
+        self._tx_state = pack_tree(self.tx.init_state())
         return pd
 
     # ---- displays -------------------------------------------------------

@@ -116,6 +116,13 @@ class Hardware:
         """Pull up to ``[n_rx, n]`` complex64 samples; None when starved."""
         return None
 
+    def write_samples(self, iq: np.ndarray) -> None:
+        """Accept one transmitted IQ block (the TX half of the sound loop:
+        sound.c:1151-1186 play_samples / the UDP TX writers).  Network
+        plugins override to frame and send; the default keeps the last
+        block for taps/tests."""
+        self.tx_iq_last = np.asarray(iq)
+
 
 @register_hardware("fixed")
 class FixedHardware(Hardware):
@@ -161,6 +168,52 @@ class FileHardware(Hardware):
             self.pos += take
             got += take
         return out[None]
+
+
+@register_hardware("loopback")
+class LoopbackHardware(Hardware):
+    """RX hears your own transmission (the reference's DEBUG_MIC==1
+    self-test, sound.c:886-888/1090-1099): write_samples stores the TX
+    IQ through a compressive simulated PA; read_samples replays it
+    shifted to the dial offset, with noise in the gaps."""
+
+    def __init__(self, conf=None, offset_hz: float | None = None,
+                 sample_rate: float | None = None, noise: float = 1e-4):
+        super().__init__(conf)
+        self.offset_hz = float(offset_hz if offset_hz is not None
+                               else getattr(conf, "tune_hz", 9000.0))
+        self.sample_rate = float(sample_rate if sample_rate is not None
+                                 else getattr(conf, "sample_rate", 48000.0))
+        self.noise = noise
+        self._pending = np.zeros(0, np.complex64)
+        self._phase = 0.0
+        self._rng = np.random.default_rng(777)
+        self._pa = None
+
+    def open(self) -> str:
+        from quisk_tpu.tx.puresignal import SimulatedPA
+        self._pa = SimulatedPA()
+        self.status_text = f"TX->RX loopback @ {self.offset_hz:+.0f} Hz"
+        return self.status_text
+
+    def write_samples(self, iq: np.ndarray) -> None:
+        super().write_samples(iq)
+        fb = self._pa(np.asarray(iq)) if self._pa is not None else iq
+        self._pending = np.concatenate([self._pending,
+                                        fb.astype(np.complex64)])
+
+    def read_samples(self, n: int) -> np.ndarray:
+        take = min(n, len(self._pending))
+        sig = np.zeros(n, np.complex64)
+        sig[:take] = self._pending[:take]
+        self._pending = self._pending[take:]
+        w = 2.0 * np.pi * self.offset_hz / self.sample_rate
+        ph = self._phase + w * np.arange(n)
+        self._phase = float((ph[-1] + w) % (2.0 * np.pi))
+        out = sig * np.exp(1j * ph)
+        out += self.noise * (self._rng.standard_normal(n)
+                             + 1j * self._rng.standard_normal(n))
+        return out.astype(np.complex64)[None]
 
 
 @register_hardware("sim")

@@ -72,6 +72,7 @@ def test_radio_transmit_keying():
     radio = Radio(cfg, hardware="sim")
     radio.open()
     radio.enable_tx()
+    radio.set_vox(True)                               # VOX is opt-in
     quiet = np.zeros(radio.tx.block, np.float32)
     loud = (0.3 * np.sin(2 * np.pi * 1000.0 * np.arange(radio.tx.block) / FS)
             ).astype(np.float32)
