@@ -1,0 +1,108 @@
+"""Host ingest throughput benchmark: native blaster -> native pump.
+
+Measures the sample plane the reference keeps in C (quisk.c:3284
+quisk_read_rx_udp, 3519 read_rx_udp10): localhost UDP packets through the
+C++ reader thread (batched recvmmsg + parse + lock-free rings,
+native/ingest.cpp qt_pump_*) with a Python consumer draining blocks —
+the complete producer->parse->ring->block path, not just the parser.
+
+Host-only (no TPU / no jax).  Prints one JSON line per configuration:
+
+    python bench_ingest.py [--packets N] [--block 16384]
+
+Reference ceiling: the C readers handle 8 receivers at 384 kHz
+(quisk.c:3519-3820) = 3.07 Msps aggregate; SURVEY §7 sets the target at
+>100x real-time for one stream, VERDICT r2 at >=10x the 8x384k ceiling
+(~31 Msps aggregate).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+import time
+
+import numpy as np
+
+from quisk_tpu.app.status import StatusBoard
+from quisk_tpu.io.pump import NativePump, blast
+
+
+def run_config(codec: str, n_rx: int, n_packets: int, block: int,
+               pace_pps: float = 0.0) -> dict:
+    """Blast n_packets at the pump while a consumer drains blocks;
+    returns throughput + integrity stats."""
+    pump = NativePump(codec, n_rx=n_rx, ring_samples=1 << 22)
+    pump.start()
+    board = StatusBoard()
+    board.attach("pump", pump)
+
+    drained = 0
+    stop = threading.Event()
+
+    def consume():
+        nonlocal drained
+        while not stop.is_set():
+            x = pump.read_samples(block)
+            if x is None:
+                time.sleep(0.0002)
+                continue
+            drained += block
+
+    ct = threading.Thread(target=consume, daemon=True)
+    ct.start()
+    t0 = time.perf_counter()
+    sent = blast(pump.local_addr, codec=codec, n_rx=n_rx,
+                 n_packets=n_packets, pace_pps=pace_pps)
+    # let the pump finish parsing whatever the kernel buffered
+    deadline = time.time() + 2.0
+    last = -1
+    while time.time() < deadline:
+        s = pump.stats()["samples"]
+        if s == last:
+            break
+        last = s
+        time.sleep(0.05)
+    dt = time.perf_counter() - t0
+    stop.set()
+    ct.join(timeout=1.0)
+    st = pump.stats()
+    snap = board.snapshot()
+    pump.close()
+    parsed = st["samples"]
+    return {
+        "codec": codec, "n_rx": n_rx, "packets_sent": sent,
+        "packets_parsed": st["packets"], "seconds": round(dt, 3),
+        "aggregate_msps": round(parsed * n_rx / dt / 1e6, 1),
+        "drained_msps": round(drained * n_rx / dt / 1e6, 1),
+        "seq_errors": st["seq_errors"], "ring_overruns": st["ring_overruns"],
+        "statusboard_fill": snap.get("pump.fill"),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--packets", type=int, default=400_000)
+    ap.add_argument("--block", type=int, default=16384)
+    args = ap.parse_args()
+
+    # max-rate: one HiQSDR stream and the reference's 8-receiver Metis
+    for codec, n_rx in (("hiqsdr", 1), ("metis", 8)):
+        r = run_config(codec, n_rx, args.packets, args.block)
+        r["metric"] = f"ingest_{codec}_{n_rx}rx"
+        print(json.dumps(r))
+
+    # integrity at a paced rate: 8x384k Metis at 4x real-time must arrive
+    # with zero sequence errors (the reference's operating contract)
+    spf = 2 * ((512 - 8) // (8 * 6 + 2))        # samples per metis frame
+    pace = 4.0 * 8 * 384_000 / (8 * spf)        # frames/s at 4x... per-rx
+    pace = 4.0 * 384_000 / spf                  # per-rx rate sets frame rate
+    r = run_config("metis", 8, int(pace * 3), args.block, pace_pps=pace)
+    r["metric"] = "ingest_metis_8rx_paced_4x"
+    r["ok"] = r["seq_errors"] == 0 and r["ring_overruns"] == 0
+    print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()

@@ -19,9 +19,18 @@
 //
 // Build: make -C native   ->  libquisk_ingest.so
 
+#include <arpa/inet.h>
+#include <netinet/in.h>
+#include <poll.h>
+#include <sys/socket.h>
+#include <time.h>
+#include <unistd.h>
+
 #include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 extern "C" {
 
@@ -232,6 +241,294 @@ int64_t qt_ring_pop(void* h, float* out, int64_t n) {
   for (int64_t k = 0; k < n; ++k) out[k] = r->buf[(tail + k) & (r->cap - 1)];
   r->tail.store(tail + n, std::memory_order_release);
   return n;
+}
+
+// ----------------------------------------------------------------- pump
+// The whole ingest hot path in native code: a reader thread owns the
+// socket, drains it with batched recvmmsg, parses (HiQSDR or Metis) and
+// pushes interleaved I/Q float32 into per-receiver SPSC rings.  Python
+// only supervises (start/stop/stats) and assembles blocks from the rings
+// at block rate.  This is the analogue of the reference's C readers
+// (quisk.c:3284 quisk_read_rx_udp / 3519 read_rx_udp10) — they ARE the
+// reference's hot path; a per-packet Python loop caps out ~100x lower.
+
+struct QtPump {
+  int fd = -1;
+  int codec = 0;  // 0 = hiqsdr, 1 = metis
+  int n_rx = 1;
+  std::vector<QtRing*> rings;
+  QtRing* mic = nullptr;
+  std::thread th;
+  std::atomic<bool> running{false};
+  std::atomic<int64_t> packets{0}, bad{0}, samples{0}, seq_errors{0};
+  uint8_t hiq_seq = 0;
+  uint32_t metis_seq = 0;
+  uint8_t ctl[10] = {0};
+  uint8_t status = 0;
+};
+
+void* qt_pump_create(int32_t codec, int32_t n_rx, const char* host,
+                     int32_t port, int64_t ring_floats) {
+  QtPump* p = new QtPump();
+  p->codec = codec;
+  p->n_rx = n_rx;
+  p->fd = socket(AF_INET, SOCK_DGRAM, 0);
+  if (p->fd < 0) { delete p; return nullptr; }
+  // deep kernel buffer: at 100+ MB/s a scheduling hiccup must not drop
+  // (the reference leans on SO_RCVBUF the same way, quisk.c:4002)
+  int rcv = 1 << 24;
+  setsockopt(p->fd, SOL_SOCKET, SO_RCVBUF, &rcv, sizeof rcv);
+  sockaddr_in a;
+  memset(&a, 0, sizeof a);
+  a.sin_family = AF_INET;
+  a.sin_port = htons((uint16_t)port);
+  a.sin_addr.s_addr = host && host[0] ? inet_addr(host)
+                                      : htonl(INADDR_LOOPBACK);
+  if (bind(p->fd, (sockaddr*)&a, sizeof a) != 0) {
+    close(p->fd);
+    delete p;
+    return nullptr;
+  }
+  for (int r = 0; r < n_rx; ++r)
+    p->rings.push_back((QtRing*)qt_ring_create(ring_floats));
+  p->mic = (QtRing*)qt_ring_create(ring_floats / 2);
+  return p;
+}
+
+int32_t qt_pump_port(void* h) {
+  QtPump* p = (QtPump*)h;
+  sockaddr_in a;
+  socklen_t alen = sizeof a;
+  if (getsockname(p->fd, (sockaddr*)&a, &alen) != 0) return -1;
+  return (int32_t)ntohs(a.sin_port);
+}
+
+static void qt_pump_loop(QtPump* p) {
+  constexpr int BATCH = 64;
+  constexpr int MTU = 2048;
+  std::vector<uint8_t> bufs((size_t)BATCH * MTU);
+  mmsghdr msgs[BATCH];
+  iovec iov[BATCH];
+  for (int k = 0; k < BATCH; ++k) {
+    iov[k].iov_base = bufs.data() + (size_t)k * MTU;
+    iov[k].iov_len = MTU;
+    memset(&msgs[k], 0, sizeof msgs[k]);
+    msgs[k].msg_hdr.msg_iov = &iov[k];
+    msgs[k].msg_hdr.msg_iovlen = 1;
+  }
+  constexpr int MAXNS = 256;
+  std::vector<float> iqbuf((size_t)p->n_rx * 2 * MAXNS);
+  int16_t micbuf[MAXNS];
+  float micf[MAXNS];
+  float outi[256], outq[256], inter[512];
+  pollfd pf;
+  pf.fd = p->fd;
+  pf.events = POLLIN;
+  while (p->running.load(std::memory_order_relaxed)) {
+    if (poll(&pf, 1, 100) <= 0) continue;
+    for (;;) {
+      int n = recvmmsg(p->fd, msgs, BATCH, MSG_DONTWAIT, nullptr);
+      if (n <= 0) break;
+      for (int m = 0; m < n; ++m) {
+        const uint8_t* pkt = bufs.data() + (size_t)m * MTU;
+        int64_t len = msgs[m].msg_len;
+        int64_t se = 0;
+        if (p->codec == 0) {
+          uint8_t st = 0;
+          int64_t ns = qt_hiqsdr_parse(pkt, len, &p->hiq_seq, &se, outi,
+                                       outq, &st);
+          if (ns < 0) { ++p->bad; continue; }
+          p->status = st;
+          for (int64_t k = 0; k < ns; ++k) {
+            inter[2 * k] = outi[k];
+            inter[2 * k + 1] = outq[k];
+          }
+          qt_ring_push(p->rings[0], inter, 2 * ns);
+          p->seq_errors += se;
+          ++p->packets;
+          p->samples += ns;
+        } else {
+          int64_t ns = qt_metis_parse(pkt, len, p->n_rx, &p->metis_seq, &se,
+                                      iqbuf.data(), 2 * MAXNS, micbuf,
+                                      p->ctl);
+          if (ns < 0) { ++p->bad; continue; }
+          for (int r = 0; r < p->n_rx; ++r)
+            qt_ring_push(p->rings[r], iqbuf.data() + (size_t)r * 2 * MAXNS,
+                         2 * ns);
+          for (int64_t k = 0; k < ns; ++k)
+            micf[k] = (float)micbuf[k] * (1.0f / 32768.0f);
+          qt_ring_push(p->mic, micf, ns);
+          p->seq_errors += se;
+          ++p->packets;
+          p->samples += ns;
+        }
+      }
+      if (n < BATCH) break;
+    }
+  }
+}
+
+int32_t qt_pump_start(void* h) {
+  QtPump* p = (QtPump*)h;
+  if (p->running.load()) return 0;
+  p->running.store(true);
+  p->th = std::thread(qt_pump_loop, p);
+  return 0;
+}
+
+void qt_pump_stop(void* h) {
+  QtPump* p = (QtPump*)h;
+  p->running.store(false);
+  if (p->th.joinable()) p->th.join();
+}
+
+void qt_pump_destroy(void* h) {
+  QtPump* p = (QtPump*)h;
+  qt_pump_stop(h);
+  if (p->fd >= 0) close(p->fd);
+  for (QtRing* r : p->rings) qt_ring_destroy(r);
+  qt_ring_destroy(p->mic);
+  delete p;
+}
+
+// out[7]: packets, bad_packets, per-rx samples, seq_errors, ring_overruns,
+// min ring fill (complex samples), mic fill
+void qt_pump_stats(void* h, int64_t* out) {
+  QtPump* p = (QtPump*)h;
+  out[0] = p->packets.load();
+  out[1] = p->bad.load();
+  out[2] = p->samples.load();
+  out[3] = p->seq_errors.load();
+  int64_t ov = 0, fill = INT64_MAX;
+  for (QtRing* r : p->rings) {
+    ov += qt_ring_overruns(r);
+    int64_t s = qt_ring_size(r) / 2;
+    if (s < fill) fill = s;
+  }
+  out[4] = ov;
+  out[5] = p->rings.empty() ? 0 : fill;
+  out[6] = qt_ring_size(p->mic);
+}
+
+int64_t qt_pump_available(void* h) {
+  QtPump* p = (QtPump*)h;
+  int64_t fill = INT64_MAX;
+  for (QtRing* r : p->rings) {
+    int64_t s = qt_ring_size(r) / 2;
+    if (s < fill) fill = s;
+  }
+  return p->rings.empty() ? 0 : fill;
+}
+
+// Pop n_floats interleaved I/Q floats from receiver rx's ring.
+int64_t qt_pump_read(void* h, int32_t rx, float* out, int64_t n_floats) {
+  QtPump* p = (QtPump*)h;
+  if (rx < 0 || rx >= (int32_t)p->rings.size()) return -1;
+  return qt_ring_pop(p->rings[rx], out, n_floats);
+}
+
+int64_t qt_pump_read_mic(void* h, float* out, int64_t n) {
+  QtPump* p = (QtPump*)h;
+  return qt_ring_pop(p->mic, out, n);
+}
+
+// --------------------------------------------------------------- blaster
+// Localhost packet blaster for ingest benchmarking: emits valid HiQSDR
+// payloads or Metis RX frames (n_rx sample groups) with running sequence
+// numbers via batched sendmmsg, optionally paced to pace_pps packets/s.
+// Content is a small I ramp — throughput, not signal, is under test.
+// Returns packets sent.  (The test-fixture role of the reference's WAV
+// replay senders, quisk.c:292-577, at benchmark rates.)
+
+int64_t qt_blast(const char* host, int32_t port, int32_t codec, int32_t n_rx,
+                 int64_t n_packets, double pace_pps) {
+  int fd = socket(AF_INET, SOCK_DGRAM, 0);
+  if (fd < 0) return -1;
+  int snd = 1 << 24;
+  setsockopt(fd, SOL_SOCKET, SO_SNDBUF, &snd, sizeof snd);
+  sockaddr_in a;
+  memset(&a, 0, sizeof a);
+  a.sin_family = AF_INET;
+  a.sin_port = htons((uint16_t)port);
+  a.sin_addr.s_addr = host && host[0] ? inet_addr(host)
+                                      : htonl(INADDR_LOOPBACK);
+  if (connect(fd, (sockaddr*)&a, sizeof a) != 0) {
+    close(fd);
+    return -1;
+  }
+  int len = codec == 0 ? 2 + 240 * 6 : 1032;
+  uint8_t base[2048];
+  memset(base, 0, sizeof base);
+  if (codec == 0) {
+    float ri[240], rq[240];
+    for (int k = 0; k < 240; ++k) {
+      ri[k] = (float)k / 512.0f;
+      rq[k] = -ri[k];
+    }
+    qt_hiqsdr_build(ri, rq, 0, 0, base);
+  } else {
+    base[0] = 0xEF; base[1] = 0xFE; base[2] = 0x01; base[3] = 0x06;
+    for (int sub = 0; sub < 2; ++sub) {
+      uint8_t* f = base + 8 + sub * 512;
+      f[0] = 0x7F; f[1] = 0x7F; f[2] = 0x7F;
+      int group = n_rx * 6 + 2;
+      int count = (512 - 8) / group;
+      uint8_t* s = f + 8;
+      for (int g = 0; g < count; ++g, s += group)
+        for (int r = 0; r < n_rx; ++r) s[r * 6 + 2] = (uint8_t)g;  // I ramp
+    }
+  }
+  constexpr int BATCH = 64;
+  std::vector<uint8_t> bufs((size_t)BATCH * 2048);
+  mmsghdr msgs[BATCH];
+  iovec iov[BATCH];
+  for (int k = 0; k < BATCH; ++k) {
+    memcpy(bufs.data() + (size_t)k * 2048, base, len);
+    iov[k].iov_base = bufs.data() + (size_t)k * 2048;
+    iov[k].iov_len = (size_t)len;
+    memset(&msgs[k], 0, sizeof msgs[k]);
+    msgs[k].msg_hdr.msg_iov = &iov[k];
+    msgs[k].msg_hdr.msg_iovlen = 1;
+  }
+  int64_t sent = 0;
+  uint32_t seq = 0;
+  timespec t0;
+  clock_gettime(CLOCK_MONOTONIC, &t0);
+  while (sent < n_packets) {
+    int want = (int)(n_packets - sent < BATCH ? n_packets - sent : BATCH);
+    for (int k = 0; k < want; ++k, ++seq) {
+      uint8_t* pkt = bufs.data() + (size_t)k * 2048;
+      if (codec == 0) {
+        pkt[0] = (uint8_t)seq;
+      } else {
+        pkt[4] = (uint8_t)(seq >> 24); pkt[5] = (uint8_t)(seq >> 16);
+        pkt[6] = (uint8_t)(seq >> 8);  pkt[7] = (uint8_t)seq;
+      }
+    }
+    int n = sendmmsg(fd, msgs, want, 0);
+    if (n < 0) {
+      timespec ts = {0, 200000};  // transient ENOBUFS: back off 0.2 ms
+      nanosleep(&ts, nullptr);
+      continue;
+    }
+    sent += n;
+    if (pace_pps > 0.0) {
+      timespec now;
+      clock_gettime(CLOCK_MONOTONIC, &now);
+      double elapsed = (now.tv_sec - t0.tv_sec) +
+                       1e-9 * (now.tv_nsec - t0.tv_nsec);
+      double target = (double)sent / pace_pps;
+      if (target > elapsed) {
+        double dt = target - elapsed;
+        timespec ts;
+        ts.tv_sec = (time_t)dt;
+        ts.tv_nsec = (long)((dt - (double)ts.tv_sec) * 1e9);
+        nanosleep(&ts, nullptr);
+      }
+    }
+  }
+  close(fd);
+  return sent;
 }
 
 }  // extern "C"

@@ -139,11 +139,12 @@ class HermesHardware(Hardware):
     def start_pump(self, port: int = 0, host: str = "127.0.0.1"):
         """Bind the live UDP sample pump; returns (host, port) the radio
         (or a test sender) should stream 1032-byte Metis frames to."""
-        from quisk_tpu.io.native import MetisStream
-        from quisk_tpu.io.pump import UdpPump
+        from quisk_tpu.io.pump import make_pump
 
-        self.pump = UdpPump(MetisStream(n_rx=self.ctl.n_rx),
-                            n_rx=self.ctl.n_rx, port=port, host=host)
+        # native C++ pump (recvmmsg + parse + ring) when built; Python
+        # UdpPump fallback otherwise
+        self.pump = make_pump("metis", n_rx=self.ctl.n_rx, port=port,
+                              host=host)
         self.pump.start()
         return self.pump.local_addr
 

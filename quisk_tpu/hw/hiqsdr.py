@@ -131,10 +131,11 @@ class HiqsdrHardware(Hardware):
     def start_pump(self, port: int = 0, host: str = "127.0.0.1"):
         """Bind the live UDP sample pump; returns (host, port) to stream
         1442-byte HiQSDR packets to."""
-        from quisk_tpu.io.native import HiqsdrStream
-        from quisk_tpu.io.pump import UdpPump
+        from quisk_tpu.io.pump import make_pump
 
-        self.pump = UdpPump(HiqsdrStream(), n_rx=1, port=port, host=host)
+        # native C++ pump (recvmmsg + parse + ring) when built; Python
+        # UdpPump fallback otherwise
+        self.pump = make_pump("hiqsdr", n_rx=1, port=port, host=host)
         self.pump.start()
         return self.pump.local_addr
 

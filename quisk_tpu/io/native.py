@@ -56,14 +56,54 @@ def _find_lib():
             c_f32p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int16), c_u8p]
         lib.qt_metis_build.argtypes = [
             c_f32p, ctypes.c_int64, ctypes.c_uint32, c_u8p, c_u8p]
+        # native pump (reader thread + recvmmsg + parse + ring, all C++);
+        # guarded so a stale .so built before the pump existed still loads
+        try:
+            _bind_pump(lib)
+            lib._has_pump = True
+        except AttributeError:
+            lib._has_pump = False
         _LIB = lib
     else:
         _LIB = False
     return _LIB
 
 
+def _bind_pump(lib):
+    c_f32p = ctypes.POINTER(ctypes.c_float)
+    lib.qt_pump_create.restype = ctypes.c_void_p
+    lib.qt_pump_create.argtypes = [ctypes.c_int32, ctypes.c_int32,
+                                   ctypes.c_char_p, ctypes.c_int32,
+                                   ctypes.c_int64]
+    lib.qt_pump_port.restype = ctypes.c_int32
+    lib.qt_pump_port.argtypes = [ctypes.c_void_p]
+    lib.qt_pump_start.restype = ctypes.c_int32
+    lib.qt_pump_start.argtypes = [ctypes.c_void_p]
+    lib.qt_pump_stop.argtypes = [ctypes.c_void_p]
+    lib.qt_pump_destroy.argtypes = [ctypes.c_void_p]
+    lib.qt_pump_stats.argtypes = [ctypes.c_void_p,
+                                  ctypes.POINTER(ctypes.c_int64)]
+    lib.qt_pump_available.restype = ctypes.c_int64
+    lib.qt_pump_available.argtypes = [ctypes.c_void_p]
+    lib.qt_pump_read.restype = ctypes.c_int64
+    lib.qt_pump_read.argtypes = [ctypes.c_void_p, ctypes.c_int32,
+                                 c_f32p, ctypes.c_int64]
+    lib.qt_pump_read_mic.restype = ctypes.c_int64
+    lib.qt_pump_read_mic.argtypes = [ctypes.c_void_p, c_f32p,
+                                     ctypes.c_int64]
+    lib.qt_blast.restype = ctypes.c_int64
+    lib.qt_blast.argtypes = [ctypes.c_char_p, ctypes.c_int32,
+                             ctypes.c_int32, ctypes.c_int32,
+                             ctypes.c_int64, ctypes.c_double]
+
+
 def have_native() -> bool:
     return bool(_find_lib())
+
+
+def have_native_pump() -> bool:
+    lib = _find_lib()
+    return bool(lib) and getattr(lib, "_has_pump", False)
 
 
 def _f32p(a):

@@ -146,6 +146,137 @@ class UdpPump:
         }
 
 
+class NativePump:
+    """The whole ingest hot path in C++ (native/ingest.cpp qt_pump_*):
+    a native reader thread drains the socket with batched ``recvmmsg``,
+    parses HiQSDR/Metis frames and pushes interleaved I/Q into per-
+    receiver lock-free rings — no Python byte touches a packet.  Python
+    supervises and assembles ``[n_rx, n]`` blocks at block rate.
+
+    Same interface as :class:`UdpPump` (read_samples/read_mic/available/
+    stats); use :func:`make_pump` to pick automatically.  This is the
+    reference's actual architecture — its UDP readers are C
+    (quisk.c:3284/3519) — and is ~100x the per-packet-Python ceiling.
+    """
+
+    CODEC_IDS = {"hiqsdr": 0, "metis": 1}
+
+    def __init__(self, codec: str = "hiqsdr", n_rx: int = 1, port: int = 0,
+                 host: str = "127.0.0.1", ring_samples: int = 1 << 20):
+        from quisk_tpu.io import native
+        if not native.have_native_pump():
+            raise RuntimeError("native ingest library not built "
+                               "(make -C native)")
+        self._lib = native._find_lib()
+        self.codec_name = codec
+        self.n_rx = n_rx
+        self._h = self._lib.qt_pump_create(
+            self.CODEC_IDS[codec], n_rx, host.encode(), port,
+            2 * ring_samples)
+        if not self._h:
+            raise OSError(f"qt_pump_create failed (bind {host}:{port}?)")
+        self.local_addr = (host, int(self._lib.qt_pump_port(self._h)))
+        self.starved = 0
+
+    def start(self) -> None:
+        self._lib.qt_pump_start(self._h)
+
+    def stop(self) -> None:
+        if self._h:
+            self._lib.qt_pump_stop(self._h)
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.qt_pump_destroy(self._h)
+            self._h = None
+
+    __del__ = close
+
+    def available(self) -> int:
+        return int(self._lib.qt_pump_available(self._h))
+
+    @property
+    def fill(self) -> int:
+        """Ring fill in complex samples (StatusBoard poll attribute)."""
+        return self.available()
+
+    def read_samples(self, n: int) -> np.ndarray | None:
+        if self.available() < n:
+            self.starved += 1
+            return None
+        import ctypes
+        out = np.empty((self.n_rx, n), np.complex64)
+        flat = np.empty(2 * n, np.float32)
+        p = flat.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        for r in range(self.n_rx):
+            got = self._lib.qt_pump_read(self._h, r, p, 2 * n)
+            if got < 2 * n:                  # racing producer: zero-fill
+                flat[got:] = 0.0
+            # interleaved (re, im) float32 IS the complex64 memory layout
+            out[r] = flat.view(np.complex64)
+        return out
+
+    def read_mic(self, n: int) -> np.ndarray | None:
+        import ctypes
+        out = np.empty(n, np.float32)
+        got = self._lib.qt_pump_read_mic(
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n)
+        if got < n:
+            return None
+        return out
+
+    def stats(self) -> dict:
+        import ctypes
+        raw = (ctypes.c_int64 * 7)()
+        self._lib.qt_pump_stats(self._h, raw)
+        return {"packets": int(raw[0]), "bad_packets": int(raw[1]),
+                "samples": int(raw[2]), "seq_errors": int(raw[3]),
+                "ring_overruns": int(raw[4]), "fill": int(raw[5]),
+                "mic_fill": int(raw[6]), "starved": self.starved,
+                "native": True}
+
+
+def make_pump(codec, n_rx: int = 1, port: int = 0, host: str = "127.0.0.1",
+              ring_samples: int = 1 << 20):
+    """Pick the native pump when the library is built and the codec is
+    one it implements; fall back to the Python :class:`UdpPump`.
+    ``codec`` is 'hiqsdr'/'metis' or a codec object (HiqsdrStream/
+    MetisStream instances map to their native equivalents unless they
+    were constructed with ``use_native=False``)."""
+    from quisk_tpu.io import native as _n
+    name = None
+    if isinstance(codec, str):
+        name = codec
+    elif isinstance(codec, _n.HiqsdrStream) and codec.use_native is not False:
+        name = "hiqsdr"
+    elif isinstance(codec, _n.MetisStream) and codec.use_native is not False:
+        name = "metis"
+        n_rx = codec.n_rx
+    if name is not None and _n.have_native_pump():
+        return NativePump(name, n_rx=n_rx, port=port, host=host,
+                          ring_samples=ring_samples)
+    if isinstance(codec, str):
+        codec = (_n.HiqsdrStream() if codec == "hiqsdr"
+                 else _n.MetisStream(n_rx=n_rx))
+    return UdpPump(codec, n_rx=n_rx, port=port, host=host,
+                   ring_samples=ring_samples)
+
+
+def blast(addr, codec: str = "hiqsdr", n_rx: int = 1,
+          n_packets: int = 100_000, pace_pps: float = 0.0) -> int:
+    """Native localhost packet blaster (qt_blast): valid frames with
+    running sequence numbers via batched sendmmsg, optionally paced.
+    Returns packets sent.  ctypes releases the GIL for the whole call,
+    so run it from a thread alongside the consumer."""
+    from quisk_tpu.io import native as _n
+    if not _n.have_native_pump():
+        raise RuntimeError("native ingest library not built")
+    host, port = addr
+    return int(_n._find_lib().qt_blast(
+        host.encode(), port, NativePump.CODEC_IDS[codec], n_rx,
+        n_packets, pace_pps))
+
+
 class TxPacer:
     """Credit-based TX flow control tied to RX receipt (quisk.c:3622).
 
