@@ -35,7 +35,8 @@ class ScalePoint:
     devices: int
     channels: int
     samples_per_s: float
-    efficiency: float      # vs the 1-device anchor (weak-scaling definition)
+    efficiency: float      # raw: throughput(n) / (n * throughput(1))
+    eff_of_ideal: float    # efficiency / the mesh's ideal (see below)
     step_ms: float
 
 
@@ -58,11 +59,20 @@ def measure_scaling(device_counts: Sequence[int] = (1, 2, 4, 8),
                     audio_block: int = 512,
                     iters: int = 5,
                     weak: bool = True,
-                    make_chain: Callable | None = None) -> list[ScalePoint]:
+                    make_chain: Callable | None = None,
+                    shared_silicon: bool | None = None) -> list[ScalePoint]:
     """Time the sharded flagship step at each device count.
 
     ``make_chain(channels)`` defaults to the __graft_entry__ flagship; the
     1-device point anchors efficiency.  Returns points sorted by devices.
+
+    ``eff_of_ideal`` normalizes raw efficiency to what the MESH can
+    ideally deliver: 1.0 per device on a real slice (every device adds
+    silicon), 1/n on a shared-silicon virtual mesh (xla_force_host_
+    platform_device_count slices ONE host's cores, so n "devices" doing n
+    units of work can at best hold total throughput flat).  Autodetected
+    from the platform unless ``shared_silicon`` is forced; on a real TPU
+    slice eff_of_ideal == efficiency and the table is unchanged.
     """
     if make_chain is None:
         import __graft_entry__
@@ -72,6 +82,8 @@ def measure_scaling(device_counts: Sequence[int] = (1, 2, 4, 8),
     avail = len(jax.devices())
     counts = [n for n in device_counts if n <= avail]
     base_channels = channels_per_device * (1 if weak else max(counts))
+    if shared_silicon is None:
+        shared_silicon = jax.devices()[0].platform == "cpu"
 
     def sync(audio):
         # block_until_ready alone has returned early on the axon runtime;
@@ -100,15 +112,55 @@ def measure_scaling(device_counts: Sequence[int] = (1, 2, 4, 8),
         if anchor is None:
             anchor = sps / n
         eff = sps / (n * anchor)
+        ideal = (1.0 / n) if shared_silicon else 1.0
         points.append(ScalePoint(devices=n, channels=C, samples_per_s=sps,
-                                 efficiency=eff, step_ms=dt * 1e3))
+                                 efficiency=eff, eff_of_ideal=eff / ideal,
+                                 step_ms=dt * 1e3))
     return points
 
 
+def measure_timeshard(mesh, channels: int, n_samples: int,
+                      sample_rate: float = 192000.0,
+                      iters: int = 3) -> tuple[float, float]:
+    """Time the (chan, time) halo-exchange receive path on ``mesh``:
+    whole-capture SSB over ppermute FIR halos (parallel/timeshard.py).
+    Returns (samples_per_s, step_ms) — the timeshard point of the
+    scaling table."""
+    from quisk_tpu.ops import design
+    from quisk_tpu.parallel.timeshard import timeshard_rx
+
+    rng = np.random.default_rng(0)
+    iq = jax.device_put(
+        (rng.standard_normal((channels, n_samples))
+         + 1j * rng.standard_normal((channels, n_samples))
+         ).astype(np.complex64),
+        NamedSharding(mesh, P("chan", "time")))
+    stages = [(design.halfband(45), 2), (design.halfband(45), 2)]
+    bp = design.bandpass_analytic(129, 300.0, 3100.0, 48000.0)
+
+    @jax.jit
+    def step(iq_in):
+        return timeshard_rx(iq_in, mesh, sample_rate=sample_rate,
+                            tune_hz=10000.0, stages=stages, bp_taps=bp,
+                            mode="ssb")
+
+    audio = step(iq)
+    audio.block_until_ready()
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        audio = step(iq)
+        float(jnp.sum(jnp.abs(audio[0, :1])))
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    return channels * n_samples / dt, dt * 1e3
+
+
 def format_table(points: Sequence[ScalePoint], title: str = "weak") -> str:
-    lines = [f"scaling ({title}): devices  channels  Msps  efficiency  ms/step"]
+    lines = [f"scaling ({title}): devices  channels  Msps  "
+             "eff(raw)  of-ideal  ms/step"]
     for p in points:
         lines.append(f"  {p.devices:7d}  {p.channels:8d}  "
-                     f"{p.samples_per_s / 1e6:8.1f}  {p.efficiency:9.2%}  "
-                     f"{p.step_ms:7.2f}")
+                     f"{p.samples_per_s / 1e6:8.1f}  {p.efficiency:8.2%}  "
+                     f"{p.eff_of_ideal:8.2%}  {p.step_ms:7.2f}")
     return "\n".join(lines)

@@ -15,6 +15,23 @@ def test_measure_scaling_points():
         assert p.channels == 8 * p.devices        # weak scaling
         assert p.samples_per_s > 0 and p.step_ms > 0
         assert 0 < p.efficiency <= 1.5            # sane, not asserted >=80%
+        # shared-silicon CPU mesh: of-ideal = efficiency * n
+        assert abs(p.eff_of_ideal - p.efficiency * p.devices) < 1e-9
     assert pts[0].efficiency == 1.0               # anchor
     table = format_table(pts)
-    assert "efficiency" in table and table.count("\n") == len(pts)
+    assert "of-ideal" in table and table.count("\n") == len(pts)
+
+
+def test_measure_scaling_strong_and_timeshard():
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+    from quisk_tpu.parallel.scaling import measure_timeshard
+
+    pts = measure_scaling(device_counts=(1, 2), channels_per_device=4,
+                          sample_rate=192000.0, audio_block=256, iters=1,
+                          weak=False)
+    assert [p.channels for p in pts] == [8, 8]    # total held fixed
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("chan", "time"))
+    sps, ms = measure_timeshard(mesh, channels=4, n_samples=1024, iters=1)
+    assert sps > 0 and ms > 0
