@@ -165,7 +165,11 @@ class FusedTuneDecimate:
         T = taps.shape[-1]
         R = 128
         N = block // decim
-        while TN > 1 and N % (R * TN):
+        # TN: largest tile that stays 128-aligned AND whose two (re, im)
+        # VMEM windows leave room for the [K, R] tap matrix (deep fused
+        # cascades reach T ~ 1400, W ~ 4000 floats per channel row)
+        while TN > 1 and (N % (R * TN)
+                          or (R * decim * TN + T - 1) * TC * 8 > (9 << 20)):
             TN //= 2
         if channels % TC or N % (R * TN):
             raise ValueError("needs C % 128 == 0 and (block/decim) % 128 == 0")

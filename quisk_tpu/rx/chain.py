@@ -144,24 +144,50 @@ class RxChain:
         tune_eff = base + _cw_rit(modes, config.cw_pitch)
         nco = NCO.create(tune_eff, config.sample_rate, B_in, C)
 
-        stages = []
-        front = None
-        b = B_in
-        for i, (d, fs_stage) in enumerate(zip(plan.stages,
-                                              plan.stage_rates())):
+        stage_specs = []
+        for d, fs_stage in zip(plan.stages, plan.stage_rates()):
             if d == 2:
                 taps = design.halfband(45)
             else:
                 taps = design.decimator(d, fs_stage,
                                         atten_db=config.decim_atten_db)
-            if (i == 0 and config.fused_frontend and C % 128 == 0
-                    and (b // d) % 128 == 0):
+            stage_specs.append((np.asarray(taps, np.float64), d))
+
+        # Fuse the longest leading run of decimators into the Pallas
+        # tune+decimate front end via the cascade identity
+        #   decim_d2(h2 * decim_d1(h1 * x)) = decim_d1d2((h1 * up_d1(h2)) * x)
+        # — for the flagship /20 plan the WHOLE cascade fuses (tune + /2 +
+        # /2 + /5 in one VMEM pass), removing two [C, B/d] intermediate HBM
+        # round-trips and ~27% of the MXU patch work (K shrinks from
+        # 300+300+962 summed partial windows to one 3980-deep dot).
+        # Constraints per fused prefix: output block 128-aligned and the
+        # two (re, im) input windows fit VMEM alongside the [K, 128] taps.
+        front = None
+        fuse_k = 0
+        if config.fused_frontend and C % 128 == 0:
+            comb, d_tot = None, 1
+            for taps, d in stage_specs:
+                if comb is None:
+                    cand, cand_d = taps, d
+                else:
+                    up = np.zeros((len(taps) - 1) * d_tot + 1)
+                    up[::d_tot] = taps
+                    cand, cand_d = np.convolve(comb, up), d_tot * d
+                W = 128 * cand_d + len(cand) - 1
+                if (B_in // cand_d) % 128 or W * 128 * 4 * 2 > (9 << 20):
+                    break
+                comb, d_tot = cand, cand_d
+                fuse_k += 1
+            if fuse_k:
                 from quisk_tpu.ops.pallas_kernels import FusedTuneDecimate
                 front = FusedTuneDecimate.create(
-                    taps, tune_eff, config.sample_rate, b, d, C)
-            else:
-                # real-tap decimators run as MXU matmuls (MatmulFIR)
-                stages.append(make_fir(taps, b, decim=d))
+                    comb, tune_eff, config.sample_rate, B_in, d_tot, C)
+
+        stages = []
+        b = B_in if front is None else B_in // front.decim
+        for taps, d in stage_specs[fuse_k:]:
+            # real-tap decimators run as MXU matmuls (MatmulFIR)
+            stages.append(make_fir(taps, b, decim=d))
             b //= d
         assert b == B_mid
 

@@ -37,15 +37,21 @@ def test_fused_op_matches_reference():
     assert snr2 > 100.0, snr2
 
 
-def test_fused_chain_equals_unfused():
+@pytest.mark.parametrize("fs,fused_decim", [
+    (384000.0, 8),      # /8 = 2*2*2: three HB45s fuse into one pass
+    (960000.0, 20),     # flagship /20 = 2*2*5: whole cascade fuses
+])
+def test_fused_chain_equals_unfused(fs, fused_decim):
     C = 128
-    cfg = dict(sample_rate=FS, channels=C, audio_block=512, agc=True)
-    tune = [(-FS / 4 + (i + 0.5) * FS / (2 * C)) for i in range(C)]
+    cfg = dict(sample_rate=fs, channels=C, audio_block=512, agc=True)
+    tune = [(-fs / 4 + (i + 0.5) * fs / (2 * C)) for i in range(C)]
     modes = [int(Mode.USB), int(Mode.AM)][0]
     a = RxChain.create(RxChainConfig(**cfg), tune_hz=tune, mode=modes)
     b = RxChain.create(RxChainConfig(**cfg, fused_frontend=True),
                        tune_hz=tune, mode=modes)
     assert b.front is not None
+    assert b.front.decim == fused_decim, b.front.decim
+    assert not b.stages          # no unfused decimators remain
     rng = np.random.default_rng(1)
     nblk = 4
     x = (rng.standard_normal((C, nblk * a.block_in))
