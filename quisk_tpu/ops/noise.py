@@ -240,6 +240,13 @@ class AutoNotch:
     @classmethod
     def create(cls, block: int, ntaps: int | None = None, n_notch: int = 2,
                width_bins: int = 4, ema: float = 0.7, snr_open_db: float = 12.0):
+        """``snr_open_db`` is the peak-over-median threshold that opens a
+        notch.  Note the analysis window is the full overlap-save input
+        [prev tail | block] (~2x the block): a coherent tone's peak grows
+        ~N^2 while the noise median grows ~N, so relative to a block-length
+        FFT the same ``snr_open_db`` opens on ~3 dB weaker tones — the
+        default 12 dB is calibrated for THIS window; raise it ~3 dB to
+        reproduce block-length-detector behaviour."""
         if ntaps is None:
             # notch depth needs FIR frequency resolution finer than the
             # notch width: use a block-length filter (the reference's design
