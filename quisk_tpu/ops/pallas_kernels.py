@@ -46,24 +46,36 @@ def _fused_kernel(word_ref, phase_ref, xr_hbm, xi_hbm, M_ref,
         xi_hbm.at[pl.ds(row, TC), pl.ds(col, Wp)], xi_s, sems.at[1])
     cp_r.start()
     cp_i.start()
-
-    # NCO angles for ext positions col .. col+W-1.  Phase words are int32:
-    # two's-complement wraparound equals uint32 mod-2^32 arithmetic, and
-    # the angle scale maps 2^32 -> 2pi, so the signed interpretation only
-    # shifts angles by multiples of 2pi (Mosaic cannot cast uint32->f32).
-    n = jax.lax.broadcasted_iota(jnp.int32, (TC, Wp), 1) + jnp.int32(col)
-    ph = phase_ref[:] + word_ref[:] * n           # [TC,1] broadcast * [TC,W]
-    ang = ph.astype(jnp.float32) * _TWO_PI_OVER_2_32
-    c = jnp.cos(ang)
-    sn = jnp.sin(ang)
-
     cp_r.wait()
     cp_i.wait()
-    xr = xr_s[:]
-    xi = xi_s[:]
-    # mix down: x * conj(e^{j ang})
-    tr = xr * c + xi * sn
-    tiq = xi * c - xr * sn
+
+    # NCO mix IN PLACE, in lane chunks: a whole-window formulation needs
+    # ~7 live [TC, Wp] temporaries (iota, phase, angle, cos, sin, mixed
+    # re/im) — 24 MB of scoped VMEM at the fused-cascade window depths,
+    # past the 16 MB stack limit.  Chunking keeps the live set to the two
+    # DMA scratch buffers (overwritten with the mixed signal) plus
+    # [TC, CH]-sized phasor temporaries.
+    #
+    # Phase words are int32: two's-complement wraparound equals uint32
+    # mod-2^32 arithmetic, and the angle scale maps 2^32 -> 2pi, so the
+    # signed interpretation only shifts angles by multiples of 2pi
+    # (Mosaic cannot cast uint32->f32).
+    CH = 1024
+    for c0 in range(0, Wp, CH):
+        ch = min(CH, Wp - c0)        # tail chunk (Wp is only 128-aligned)
+        n = (jax.lax.broadcasted_iota(jnp.int32, (TC, ch), 1)
+             + jnp.int32(col + c0))
+        ph = phase_ref[:] + word_ref[:] * n       # [TC,1] bcast * [TC,ch]
+        ang = ph.astype(jnp.float32) * _TWO_PI_OVER_2_32
+        c = jnp.cos(ang)
+        sn = jnp.sin(ang)
+        a = xr_s[:, c0:c0 + ch]
+        b = xi_s[:, c0:c0 + ch]
+        # mix down: x * conj(e^{j ang})
+        xr_s[:, c0:c0 + ch] = a * c + b * sn
+        xi_s[:, c0:c0 + ch] = b * c - a * sn
+    tr = xr_s
+    tiq = xi_s
 
     M = M_ref[:]
     for j in range(TN):
@@ -165,11 +177,16 @@ class FusedTuneDecimate:
         T = taps.shape[-1]
         R = 128
         N = block // decim
-        # TN: largest tile that stays 128-aligned AND whose two (re, im)
-        # VMEM windows leave room for the [K, R] tap matrix (deep fused
-        # cascades reach T ~ 1400, W ~ 4000 floats per channel row)
+        # TN: largest tile that stays 128-aligned AND fits the scoped-VMEM
+        # stack (16 MB): live set = two (re, im) scratch windows (the mix
+        # overwrites them in place) + the [K, R] tap matrix + ~6 chunk
+        # temporaries of the in-place NCO loop.  Deep fused cascades reach
+        # T ~ 1400, W ~ 4000 floats per channel row.
+        K_dot = R * decim + T - 1
+        temps = 6 * TC * 1024 * 4
         while TN > 1 and (N % (R * TN)
-                          or (R * decim * TN + T - 1) * TC * 8 > (9 << 20)):
+                          or ((R * decim * TN + T - 1) * TC * 8
+                              + K_dot * R * 4 + temps) > (14 << 20)):
             TN //= 2
         if channels % TC or N % (R * TN):
             raise ValueError("needs C % 128 == 0 and (block/decim) % 128 == 0")

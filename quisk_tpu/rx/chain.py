@@ -161,7 +161,9 @@ class RxChain:
         # round-trips and ~27% of the MXU patch work (K shrinks from
         # 300+300+962 summed partial windows to one 3980-deep dot).
         # Constraints per fused prefix: output block 128-aligned and the
-        # two (re, im) input windows fit VMEM alongside the [K, 128] taps.
+        # kernel's TN=1 live set (two in-place-mixed scratch windows + the
+        # [W, 128] tap matrix + NCO chunk temporaries) fits the 16 MB
+        # scoped-VMEM stack — same model as FusedTuneDecimate's TN chooser.
         front = None
         fuse_k = 0
         if config.fused_frontend and C % 128 == 0:
@@ -174,7 +176,9 @@ class RxChain:
                     up[::d_tot] = taps
                     cand, cand_d = np.convolve(comb, up), d_tot * d
                 W = 128 * cand_d + len(cand) - 1
-                if (B_in // cand_d) % 128 or W * 128 * 4 * 2 > (9 << 20):
+                if ((B_in // cand_d) % 128
+                        or (W * 128 * 8 + W * 128 * 4
+                            + 6 * 128 * 1024 * 4) > (14 << 20)):
                     break
                 comb, d_tot = cand, cand_d
                 fuse_k += 1
