@@ -368,6 +368,7 @@ class Radio:
         if getattr(self, "tx", None) is None:
             raise ValueError("no TX chain (call enable_tx first)")
         self.tx = self.tx.set_spot(level)
+        self.spot_level = float(level)   # surfaced in the web UI state
 
     def set_ampl_phase(self, ampl: float, phase_deg: float,
                        is_tx: bool = False) -> None:
@@ -569,6 +570,11 @@ class Radio:
                 self.webui.send_spectrum(
                     self.vfo_hz - 0.5 * self.cfg.sample_rate, df,
                     trace[0], self.smeter_db())
+                if self.cfg.channels > 1:
+                    # narrow per-sub-RX panels (quisk.c:4868)
+                    self.webui.send_multirx(self.vfo_hz,
+                                            self.cfg.sample_rate,
+                                            trace, self.offsets)
         if getattr(self, "player", None) is not None:
             self.play(audio)
         if self.tci is not None:
@@ -861,6 +867,8 @@ class Radio:
         if keyed != self._keyed:
             self.hw.OnButtonPTT(keyed)   # T/R switch (quisk.py:6695)
             self._keyed = keyed
+            if getattr(self, "webui", None) is not None:
+                self.webui.send_state()  # live PTT indicator on the page
         return keyed, cw_key, mic
 
     def _duplex_audio(self, audio: np.ndarray, keyed: bool, cw_key: bool,

@@ -12,17 +12,29 @@ accepting tune/mode/sub-RX commands back.
 
 Protocol (one WebSocket, path ``/ws``):
 
-- server -> client, binary: ``b'S'`` + f64 start_hz + f64 bin_hz +
-  f32 smeter_db + float32[n] spectrum dB row (channel 0).
+- server -> client, binary: ``b'S'`` + pad[3] + f64 start_hz + f64
+  bin_hz + f32 smeter_db + float32[n] spectrum dB row (channel 0, after
+  the current zoom/pan window; 24-byte header so the row is 4-aligned
+  for JS Float32Array views).
+- server -> client, binary: ``b'M'`` + u8 channel + u16 pad + f64
+  start_hz + f64 bin_hz + float32[n] — one narrow spectrum row per
+  sub-receiver, centered on its tuned frequency (get_multirx_graph,
+  quisk.c:4868); 20-byte aligned header.
 - server -> client, text: JSON state ``{"freq": .., "vfo": .., "mode":
-  .., "modes": [..], "channels": N}`` on connect and after any change.
+  .., "modes": [..], "channels": N, "subrx": [{channel, freq, mode,
+  route}..], "keyed": bool, "tx": bool, "spot": f, "zoom": z,
+  "zoom_center": hz|null}`` on connect and after any change.
 - client -> server, text: JSON ``{"cmd": "freq", "value": hz}``,
   ``{"cmd": "mode", "value": "USB"}``, ``{"cmd": "subrx", "channel": c,
-  "freq": hz, "mode": m, "route": r}``.
+  "freq": hz, "mode": m, "route": r}``, ``{"cmd": "ptt", "value":
+  bool}``, ``{"cmd": "spot", "value": level}``, ``{"cmd": "zoom",
+  "value": z, "center": hz}`` (z >= 1; center pans the window).
 
 The page renders the spectrum as a polyline and feeds the same rows into
 a client-side waterfall using the identical palette breakpoints as
-app/graph.py:waterfall_palette (quisk.c:5334's C renderer).
+app/graph.py:waterfall_palette (quisk.c:5334's C renderer); sub-RX rows
+render as small per-receiver panels with their own tune/mode/route
+controls (the reference's multi-RX window row, quisk.py:2094 sub-graphs).
 """
 
 from __future__ import annotations
@@ -55,8 +67,18 @@ _PAGE = """<!DOCTYPE html>
  <span id="modes"></span>
  <span id="smeter"></span>
 </div>
+<div>
+ <button id="ptt" onclick="togglePtt()">PTT</button>
+ <button id="spot" onclick="toggleSpot()">Spot</button>
+ <input id="spotlvl" type="number" step="0.1" min="0" max="1" value="0.5"
+  style="width:4em">
+ <button onclick="zoomBy(2)">Zoom+</button>
+ <button onclick="zoomBy(0.5)">Zoom-</button>
+ <span style="color:#888">(click spectrum to pan when zoomed)</span>
+</div>
 <canvas id="spec" width="1024" height="220"></canvas>
 <canvas id="wf" width="1024" height="260"></canvas>
+<div id="subrx"></div>
 <script>
 const spec=document.getElementById('spec'),wf=document.getElementById('wf');
 const sctx=spec.getContext('2d'),wctx=wf.getContext('2d');
@@ -78,19 +100,66 @@ function pal(t){t=Math.min(1,Math.max(0,t));
   const u=(t-a[0])/(b[0]-a[0]);
   return [a[1]+u*(b[1]-a[1]),a[2]+u*(b[2]-a[2]),a[3]+u*(b[3]-a[3])];}}
  return [255,0,0];}
+function togglePtt(){send({cmd:'ptt',value:!state.keyed});}
+function toggleSpot(){
+ const lvl=+document.getElementById('spotlvl').value;
+ send({cmd:'spot',value:(state.spot>=0)?-1:lvl});}
+function zoomBy(k){
+ const z=Math.max(1,Math.min(1024,(state.zoom||1)*k));
+ send({cmd:'zoom',value:z,center:state.zoom_center});}
+spec.onclick=(ev)=>{          // pan: click sets the zoom window center
+ if((state.zoom||1)<=1)return;
+ const fx=f0+df*(ev.offsetX*1024/spec.clientWidth);
+ send({cmd:'zoom',value:state.zoom,center:fx});};
+function renderSubrx(){
+ const div=document.getElementById('subrx');
+ if(!state.subrx||!state.subrx.length){div.innerHTML='';return;}
+ for(const s of state.subrx){
+  let p=document.getElementById('sub_'+s.channel);
+  if(!p){p=document.createElement('div');p.id='sub_'+s.channel;
+   p.innerHTML='RX'+s.channel+' <input id="sf_'+s.channel+
+    '" type="number" step="100" value="'+s.freq+'"> Hz '+
+    '<select id="sm_'+s.channel+'">'+MODES.map(m=>'<option>'+m+
+    '</option>').join('')+'</select> <select id="sr_'+s.channel+'">'+
+    ['off','left','right','both'].map(r=>'<option>'+r+'</option>').join('')+
+    '</select> <button>Set</button><br>'+
+    '<canvas id="sc_'+s.channel+'" width="256" height="64"></canvas>';
+   p.querySelector('button').onclick=()=>send({cmd:'subrx',
+    channel:s.channel,freq:+document.getElementById('sf_'+s.channel).value,
+    mode:document.getElementById('sm_'+s.channel).value,
+    route:document.getElementById('sr_'+s.channel).value});
+   div.appendChild(p);}
+  document.getElementById('sm_'+s.channel).value=s.mode;
+  document.getElementById('sr_'+s.channel).value=s.route;}}
 ws.onmessage=(ev)=>{
  if(typeof ev.data==='string'){state=JSON.parse(ev.data);
   document.getElementById('freq').value=state.freq;
   for(const m of MODES)document.getElementById('m_'+m)
     .className=(m===state.mode)?'on':'';
+  document.getElementById('ptt').className=state.keyed?'on':'';
+  document.getElementById('spot').className=(state.spot>=0)?'on':'';
+  renderSubrx();
   return;}
  const dv=new DataView(ev.data);
+ if(dv.getUint8(0)===77){                             // 'M' sub-RX row
+  const ch=dv.getUint8(1);
+  const c=document.getElementById('sc_'+ch);
+  if(!c)return;
+  const n=(ev.data.byteLength-20)/4;
+  const r=new Float32Array(ev.data,20,n);
+  const cx=c.getContext('2d');
+  cx.fillStyle='#000';cx.fillRect(0,0,c.width,c.height);
+  cx.strokeStyle='#fa4';cx.beginPath();
+  for(let i=0;i<n;i++){const x=i*c.width/n;
+   const y=c.height*(1-(r[i]+140)/140);
+   i?cx.lineTo(x,y):cx.moveTo(x,y);}
+  cx.stroke();return;}
  if(dv.getUint8(0)!==83)return;                       // 'S'
- f0=dv.getFloat64(1,true);df=dv.getFloat64(9,true);
- const sm=dv.getFloat32(17,true);
+ f0=dv.getFloat64(4,true);df=dv.getFloat64(12,true);
+ const sm=dv.getFloat32(20,true);
  document.getElementById('smeter').textContent='S-meter '+sm.toFixed(1)+' dB';
- const n=(ev.data.byteLength-21)/4;
- const row=new Float32Array(ev.data,21,n);
+ const n=(ev.data.byteLength-24)/4;
+ const row=new Float32Array(ev.data,24,n);
  // spectrum polyline, -140..0 dB
  sctx.fillStyle='#000';sctx.fillRect(0,0,spec.width,spec.height);
  sctx.strokeStyle='#4c4';sctx.beginPath();
@@ -192,6 +261,10 @@ class WebUIServer:
         self._clients: list[_Handler] = []
         self._lock = threading.Lock()
         self._stop = threading.Event()
+        # zoom/pan window applied to streamed spectrum rows (the
+        # reference's graph zoom, quisk.c:5194 graph zoom/deltaf)
+        self.zoom = 1.0
+        self.zoom_center: float | None = None
 
         class _Srv(socketserver.ThreadingTCPServer):
             allow_reuse_address = True
@@ -244,26 +317,85 @@ class WebUIServer:
     # ---- app-facing API ----
     def state_dict(self) -> dict:
         c = self.control
+        nchan = getattr(getattr(c, "cfg", c), "channels", 1)
+        subrx = []
+        offs = getattr(c, "offsets", None)
+        if offs is not None and nchan > 1:
+            vfo = getattr(c, "vfo_hz", 0.0)
+            cmodes = getattr(c, "channel_modes", ["USB"] * nchan)
+            routes = getattr(c, "routes", ["off"] * nchan)
+            subrx = [{"channel": ch, "freq": vfo + float(offs[ch]),
+                      "mode": cmodes[ch], "route": routes[ch]}
+                     for ch in range(1, nchan)]
         return {"freq": getattr(c, "freq_hz", 0.0),
                 "vfo": getattr(c, "vfo_hz", 0.0),
                 "mode": getattr(getattr(c, "cfg", c), "mode", "USB"),
                 "modes": MODES,
-                "channels": getattr(getattr(c, "cfg", c), "channels", 1),
+                "channels": nchan,
                 "volume": getattr(c, "volume", 1.0),
                 "muted": getattr(c, "muted", False),
-                "band": getattr(c, "band", None)}
+                "band": getattr(c, "band", None),
+                "subrx": subrx,
+                # TX surface: PTT indicator + Spot level (quisk.py PTT
+                # button state / microphone.c:1218 spot carrier)
+                "keyed": bool(getattr(c, "_keyed", False)),
+                "tx": getattr(c, "tx", None) is not None,
+                "spot": getattr(c, "spot_level", -1.0),
+                "zoom": self.zoom,
+                "zoom_center": self.zoom_center}
 
     def send_state(self) -> None:
         self._broadcast(ws_encode(json.dumps(self.state_dict())))
+
+    def _zoom_window(self, start_hz: float, bin_hz: float,
+                     row: np.ndarray) -> tuple[float, float, np.ndarray]:
+        """Apply the current zoom/pan: slice the span around zoom_center
+        and re-grid back to the display pixel count (quisk.c:5194 zoom)."""
+        n = len(row)
+        if self.zoom <= 1.0:
+            return start_hz, bin_hz, row
+        span = n / self.zoom
+        f_center = (self.zoom_center if self.zoom_center is not None
+                    else start_hz + 0.5 * n * bin_hz)
+        lo = (f_center - start_hz) / bin_hz - span / 2.0
+        lo = float(np.clip(lo, 0.0, n - span))
+        xi = lo + np.arange(n) * (span / n)
+        zoomed = np.interp(xi, np.arange(n), row).astype(np.float32)
+        return start_hz + lo * bin_hz, bin_hz * span / n, zoomed
 
     def send_spectrum(self, start_hz: float, bin_hz: float,
                       db_row: np.ndarray, smeter_db: float = -140.0) -> None:
         """Stream one channel-0 spectrum row (get_graph's dB pixels,
         quisk.c:5271-5326) to every connected page."""
         row = np.asarray(db_row, np.float32)
-        payload = (b"S" + struct.pack("<ddf", float(start_hz), float(bin_hz),
-                                      float(smeter_db)) + row.tobytes())
+        start_hz, bin_hz, row = self._zoom_window(start_hz, bin_hz, row)
+        payload = (b"S" + struct.pack("<3xddf", float(start_hz),
+                                      float(bin_hz), float(smeter_db))
+                   + row.tobytes())
         self._broadcast(ws_encode(payload))
+
+    def send_multirx(self, vfo_hz: float, sample_rate: float,
+                     trace: np.ndarray, offsets, span_hz: float = 24000.0,
+                     pixels: int = 256) -> None:
+        """Stream one narrow row per sub-receiver: channel c's dB trace
+        sliced to ``span_hz`` around its tuned frequency and re-gridded to
+        ``pixels`` (the small per-sub-RX graphs of get_multirx_graph,
+        quisk.c:4868 / quisk.py multi-RX window)."""
+        trace = np.asarray(trace, np.float32)
+        n = trace.shape[-1]
+        bin_hz = sample_rate / n
+        f0 = vfo_hz - 0.5 * sample_rate
+        for ch in range(1, trace.shape[0]):
+            fc = vfo_hz + float(offsets[ch])
+            lo = (fc - 0.5 * span_hz - f0) / bin_hz
+            lo = float(np.clip(lo, 0.0, max(0.0, n - span_hz / bin_hz)))
+            xi = lo + np.arange(pixels) * (span_hz / bin_hz / pixels)
+            row = np.interp(xi, np.arange(n), trace[ch]).astype(np.float32)
+            # header padded to 20 bytes so the f32 row lands 4-aligned
+            # (JS Float32Array views require aligned byteOffset)
+            payload = (b"M" + struct.pack("<BHdd", ch, 0, f0 + lo * bin_hz,
+                                          span_hz / pixels) + row.tobytes())
+            self._broadcast(ws_encode(payload))
 
     def on_command(self, text: str) -> None:
         try:
@@ -293,6 +425,19 @@ class WebUIServer:
             self.control.set_mute(bool(msg["value"]))
         elif cmd == "band" and hasattr(self.control, "set_band"):
             self.control.set_band(str(msg["value"]))
+        elif cmd == "ptt" and hasattr(self.control, "set_ptt"):
+            self.control.set_ptt(bool(msg["value"]))
+        elif cmd == "spot" and hasattr(self.control, "set_spot"):
+            self.control.set_spot(float(msg["value"]))
+        elif cmd == "zoom":
+            z = float(msg["value"])
+            if not 1.0 <= z <= 1024.0:
+                raise ValueError("zoom out of range")
+            self.zoom = z
+            if msg.get("center") is not None:
+                self.zoom_center = float(msg["center"])
+            elif z <= 1.0:
+                self.zoom_center = None
         else:
             return
         self.send_state()

@@ -223,10 +223,16 @@ class SimHardware(Hardware):
     settable offset from the VFO plus noise — deterministic, for tests and
     demos."""
 
-    def __init__(self, conf=None, sample_rate: float = 48000.0,
+    def __init__(self, conf=None, sample_rate: float | None = None,
                  tone_hz: float = 10000.0, amplitude: float = 0.5,
                  noise: float = 1e-4, n_rx: int = 1):
         super().__init__(conf)
+        if sample_rate is None:
+            # follow the radio's configured rate: a fixed 48 k default
+            # made the tone alias (e.g. 5.3 kHz read at 192 k shows at
+            # 21.2 kHz) whenever the radio ran at any other rate
+            sample_rate = float(getattr(conf, "sample_rate", 48000.0)
+                                or 48000.0)
         self.sample_rate = sample_rate
         self.tone_hz = tone_hz
         self.amplitude = amplitude
