@@ -54,6 +54,7 @@ class RadioConfig:
     # display
     fft_size: int = 2048
     graph_refresh_hz: float = 7.0     # quisk_conf_defaults.py:1794
+    graph_window: str = "hann"        # spectrum window (wdsp/analyzer.c)
 
     def modes(self) -> Mode:
         return Mode[self.mode]
@@ -100,6 +101,7 @@ class RadioConfig:
             agc_release_db_per_s=60.0 / max(flags.agc_release_time, 1e-3),
             cw_pitch=float(flags.cwTone),
             graph_refresh_hz=float(flags.graph_refresh),
+            graph_window=str(flags.graph_window),
             dc_remove_bw=int(flags.dc_remove_bw),
             invert_spectrum=bool(flags.invertSpectrum),
         )

@@ -306,6 +306,9 @@ _f("favorites_file_path", _TEXT, "", "path of the favorites table file")
 # --------------------------------------------------------------- display
 _sec("display")
 _f("graph_refresh", _INT, 7, "graph updates per second")
+_f("graph_window", _TEXT, "hann", "spectrum analysis window",
+   choices=("rect", "hann", "hamming", "blackman", "blackman-harris",
+            "flat-top"))
 _f("fft_size_multiplier", _INT, 0, "FFT size as a multiple of the data "
    "width; 0 = auto")
 _f("graph_peak_hold_1", _NUM, 0.25, "peak-hold decay for button 1")

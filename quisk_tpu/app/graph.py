@@ -20,8 +20,8 @@ class GraphService:
 
     def __init__(self, fft_size: int, block: int, channels: int,
                  sample_rate: float, pixels: int = 1024,
-                 refresh_hz: float = 7.0):
-        self.sa = SpectrumAnalyzer.create(fft_size, block)
+                 refresh_hz: float = 7.0, window: str = "hann"):
+        self.sa = SpectrumAnalyzer.create(fft_size, block, window=window)
         self.state = self.sa.init_state(channels)
         self.sample_rate = sample_rate
         self.pixels = pixels
@@ -47,6 +47,16 @@ class GraphService:
         if len(self.waterfall) > self.max_waterfall_rows:
             self.waterfall.pop(0)
         return trace
+
+    def set_window(self, window: str) -> None:
+        """Swap the analysis window live (data only — same compiled
+        accumulate program; wdsp/analyzer.c window option).  The running
+        average restarts: mixing windows in one accumulation would blur
+        the leakage correction."""
+        self.sa = self.sa.with_window(window)
+        self.state = self.sa.reset(self.state)
+        self._last_full = None
+        self._since_refresh = 0
 
     def smeter_dbfs(self, f_lo, f_hi) -> np.ndarray:
         """Current S-meter power (dBFS) per channel for [f_lo, f_hi].

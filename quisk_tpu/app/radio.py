@@ -99,7 +99,8 @@ class Radio:
         self.graph = GraphService(fft_size=cfg.fft_size,
                                   block=self.chain.block_in,
                                   channels=C, sample_rate=cfg.sample_rate,
-                                  refresh_hz=cfg.graph_refresh_hz)
+                                  refresh_hz=cfg.graph_refresh_hz,
+                                  window=cfg.graph_window)
         self.waterfall = WaterfallRenderer(pixels=1024)
         self._step = make_boundary_step(
             lambda ch, s, xx, kd: ch.step(s, xx, key_down=kd))
@@ -930,3 +931,11 @@ class Radio:
         lo, hi = -3000.0, 3000.0
         return float(self.graph.smeter_dbfs(self.cfg.tune_hz + lo,
                                             self.cfg.tune_hz + hi)[0])
+
+    def set_graph_window(self, window: str) -> None:
+        """Switch the spectrum analysis window (rect/hann/hamming/
+        blackman/blackman-harris/flat-top) on the live graph — data only,
+        the S-meter's leakage correction follows the window
+        (quisk.c:5212/5311; wdsp/analyzer.c window table)."""
+        self.graph.set_window(window)
+        self.cfg.graph_window = window

@@ -27,6 +27,29 @@ def hann(n: int) -> np.ndarray:
     return 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n)
 
 
+def make_window(name: str, n: int) -> np.ndarray:
+    """Analysis window by name (the reference's Hanning-family graph
+    window, quisk.c:5212, plus WDSP's analyzer window options,
+    wdsp/analyzer.c window table).  All are cosine-sum windows evaluated
+    at runtime — pure data, so switching windows never recompiles."""
+    t = 2.0 * np.pi * np.arange(n) / n
+    coeffs = {
+        "rect": (1.0,),
+        "hann": (0.5, -0.5),
+        "hamming": (0.54, -0.46),
+        "blackman": (0.42, -0.5, 0.08),
+        # 4-term -92 dB Blackman-Harris (the wdsp analyzer default family)
+        "blackman-harris": (0.35875, -0.48829, 0.14128, -0.01168),
+        # SRS flat-top: near-zero scalloping loss, for amplitude accuracy
+        "flat-top": (0.21557895, -0.41663158, 0.277263158,
+                     -0.083578947, 0.006947368),
+    }
+    if name not in coeffs:
+        raise ValueError(f"unknown window {name!r}; "
+                         f"choices: {sorted(coeffs)}")
+    return sum(a * np.cos(k * t) for k, a in enumerate(coeffs[name]))
+
+
 @struct.dataclass
 class SpectrumAnalyzer:
     """Accumulating power spectrum over ``[C, block]`` IQ blocks.
@@ -34,21 +57,38 @@ class SpectrumAnalyzer:
     State: (psum [C, fft_size] float32 accumulated power, count scalar).
     ``block`` must be a multiple of ``fft_size``; each block contributes
     block/fft_size windowed FFTs to the average.
+
+    The analysis window and its equivalent-noise-bandwidth correction are
+    DATA (same shapes for every choice): :meth:`with_window` swaps them
+    on a live analyzer without recompiling, like the reference's analyzer
+    window option (wdsp/analyzer.c) — the S-meter stays bin-sum exact for
+    every window because the ENBW travels with it.
     """
 
     window: jnp.ndarray                     # [fft_size] float32
+    enbw_bins: jnp.ndarray                  # scalar: window ENBW in bins
     fft_size: int = struct.field(pytree_node=False)
     block: int = struct.field(pytree_node=False)
 
     @classmethod
-    def create(cls, fft_size: int, block: int):
+    def create(cls, fft_size: int, block: int, window: str = "hann"):
         if block % fft_size:
             raise ValueError(f"block {block} not a multiple of fft {fft_size}")
-        w = hann(fft_size)
+        w = make_window(window, fft_size)
+        enbw = _enbw_bins(w)
         # normalise so a full-scale complex tone reads 0 dBFS
         w = w / w.sum()
-        return cls(window=jnp.asarray(w, jnp.float32), fft_size=fft_size,
-                   block=block)
+        return cls(window=jnp.asarray(w, jnp.float32),
+                   enbw_bins=jnp.float32(enbw),
+                   fft_size=fft_size, block=block)
+
+    def with_window(self, window: str) -> "SpectrumAnalyzer":
+        """Same analyzer, different window — data only, no recompile."""
+        w = make_window(window, self.fft_size)
+        enbw = _enbw_bins(w)
+        w = w / w.sum()
+        return self.replace(window=jnp.asarray(w, jnp.float32),
+                            enbw_bins=jnp.float32(enbw))
 
     def init_state(self, channels: int):
         return (jnp.zeros((channels, self.fft_size), jnp.float32),
@@ -80,23 +120,28 @@ class SpectrumAnalyzer:
         """Total power in [f_lo, f_hi] per channel (linear).
 
         f_lo/f_hi: scalars or [C] arrays — per-channel passbands supported.
-        Correct for Hann window incoherent power gain so tone power is
-        bin-summed exactly (the reference's +4.26 dB leakage correction,
-        quisk.c:5311, folds into the same normalisation).
-        """
+        Corrects for the CURRENT window's incoherent power gain (ENBW in
+        bins, carried as data) so a tone's bin-summed power is exact for
+        every window choice — the per-window generalisation of the
+        reference's fixed Hann leakage correction (quisk.c:5311)."""
         p = self.power(state)
         f = jnp.asarray(self.freqs(sample_rate), jnp.float32)
         lo = jnp.broadcast_to(jnp.asarray(f_lo, jnp.float32), (p.shape[0],))
         hi = jnp.broadcast_to(jnp.asarray(f_hi, jnp.float32), (p.shape[0],))
         mask = (f[None, :] >= lo[:, None]) & (f[None, :] <= hi[:, None])
-        w = np.asarray(hann(self.fft_size), np.float64)
-        w = w / w.sum()
-        enbw_bins = float(np.sum(w ** 2) / (np.sum(w) / len(w)) ** 2 / len(w))
-        return jnp.sum(jnp.where(mask, p, 0.0), axis=-1) / enbw_bins
+        return jnp.sum(jnp.where(mask, p, 0.0), axis=-1) / self.enbw_bins
 
     def reset(self, state):
         psum, count = state
         return (jnp.zeros_like(psum), jnp.zeros_like(count))
+
+
+def _enbw_bins(w: np.ndarray) -> float:
+    """Equivalent noise bandwidth of a window, in FFT bins: the factor by
+    which windowing spreads a tone's power across neighbouring bins
+    (1.0 rect, 1.5 Hann, ~2.0 Blackman-Harris 4-term, ~3.77 flat-top)."""
+    w = np.asarray(w, np.float64)
+    return float(len(w) * np.sum(w ** 2) / np.sum(w) ** 2)
 
 
 def measure_frequency(x: jnp.ndarray, sample_rate: float) -> jnp.ndarray:
