@@ -68,12 +68,16 @@ class WcpParams:
 
 
 def wcpagc_oracle(x: np.ndarray, p: WcpParams | None = None
-                  ) -> tuple[np.ndarray, np.ndarray]:
-    """Run the 5-state AGC over real audio x [N] -> (out [N], volts [N]).
+                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Run the 5-state AGC over real audio x [N] -> (out [N], volts [N],
+    states [N] int: 0 attack / 1 fast-decay / 2 hang / 3 decay /
+    4 hang-decay).
 
     Sample-exact float64 model of xwcpagc (wcpAGC.c:161-342) with
     pmode=envelope on a real signal (abs), including the output delay of
-    attack_buffsize samples.
+    attack_buffsize samples.  The volts and state traces exist so
+    conformance tests can pin the TPU scan to the machine's internal
+    trajectory, not just its output (VERDICT r2 weak #6).
     """
     p = p or WcpParams()
     d = p.derived()
@@ -82,6 +86,7 @@ def wcpagc_oracle(x: np.ndarray, p: WcpParams | None = None
     env = np.abs(x)
     out = np.zeros(N)
     volts_trace = np.zeros(N)
+    state_trace = np.zeros(N, np.int64)
 
     # lookahead window max: at step i the delayed output sample is x[i-A],
     # and the window holds env[i-A+1 .. i]
@@ -159,7 +164,8 @@ def wcpagc_oracle(x: np.ndarray, p: WcpParams | None = None
                 * min(0.0, np.log10(volts / p.max_input))) / volts
         out[i] = out_sample * mult
         volts_trace[i] = volts
-    return out, volts_trace
+        state_trace[i] = state
+    return out, volts_trace, state_trace
 
 
 def alc_oracle(x: np.ndarray, modes: np.ndarray,

@@ -35,7 +35,7 @@ def _stream(op, st, x2d):
 def test_wcpagc_matches_oracle():
     n = 16 * B
     x = _burst_signal(n)
-    ref, volts = wcpagc_oracle(x, WcpParams())
+    ref, volts, _states = wcpagc_oracle(x, WcpParams())
     agc = WcpAGC.create(FS)
     st, got = _stream(agc, agc.init_state(1), x[None].astype(np.float32))
     got = got[0]
@@ -53,7 +53,7 @@ def test_wcpagc_hang_holds_gain():
     n = 48 * B
     t = np.arange(n) / FS
     x = 0.8 * np.sin(2 * np.pi * 700.0 * t) * (t < 0.25) + 1e-5
-    ref, volts = wcpagc_oracle(
+    ref, volts, _states = wcpagc_oracle(
         x, WcpParams(hang_thresh=0.1, hangtime=0.25))
     # oracle sanity: volts stays within 1% for ~200 ms after the burst
     i0 = int(0.26 * FS)
@@ -63,6 +63,48 @@ def test_wcpagc_hang_holds_gain():
     assert volts[i2] < 0.5 * volts[i0]       # then decays
     st, got = _stream(agc, agc.init_state(1), x[None].astype(np.float32))
     assert np.corrcoef(got[0][B:], ref[B:])[0, 1] > 0.999
+
+
+def test_wcpagc_state_trajectory_matches_oracle():
+    """Pin the TPU scan to the machine's INTERNAL trajectory: the oracle
+    must walk the expected state sequence on a hang fixture (attack ->
+    hang -> hang-decay), and the TPU implementation's carried volts AND
+    state must track the oracle at every block boundary — a 2% output
+    tolerance alone could hide a wrong hang transition (VERDICT r2 #8)."""
+    p = WcpParams(hang_thresh=0.1, hangtime=0.25)
+    agc = WcpAGC.create(FS, hang_thresh=0.1, hangtime=0.25)
+    n = 48 * B
+    t = np.arange(n) / FS
+    x = 0.8 * np.sin(2 * np.pi * 700.0 * t) * (t < 0.25) + 1e-5
+    ref, volts, states = wcpagc_oracle(x, p)
+
+    # oracle state sequence on this fixture is explicit: during the burst
+    # the machine cycles attack/fast/hang with the sine envelope but NEVER
+    # decays (0/1/2 only); HANG(2) holds after the burst ends; HANG-DECAY
+    # (4) takes over once hangtime expires
+    burst = states[int(0.05 * FS): int(0.24 * FS)]
+    assert np.all(burst <= 2), np.bincount(burst)
+    assert np.mean(burst == 0) > 0.3, np.bincount(burst)
+    hang = states[int(0.27 * FS): int(0.44 * FS)]
+    assert np.all(hang == 2), np.unique(hang)
+    tail = states[int(0.60 * FS): int(0.90 * FS)]
+    assert np.all(tail == 4), np.unique(tail)
+
+    # block-boundary checkpoints: carried volts within 1% of the oracle
+    # trace, carried state equal at (nearly) every checkpoint
+    st = agc.init_state(1)
+    x32 = x[None].astype(np.float32)
+    v_err = []
+    s_match = []
+    for i in range(n // B):
+        st, _ = agc(st, x32[:, i * B:(i + 1) * B])
+        k = (i + 1) * B - 1
+        v_err.append(abs(float(st["volts"][0]) - volts[k])
+                     / max(volts[k], 1e-12))
+        s_match.append(int(st["state"][0]) == int(states[k]))
+    assert max(v_err) < 1e-2, max(v_err)
+    # state may differ only at a boundary that lands mid-transition
+    assert np.mean(s_match) > 0.9, (s_match, [int(s) for s in states[B-1::B]])
 
 
 def test_txalc_matches_oracle():
@@ -78,6 +120,28 @@ def test_txalc_matches_oracle():
     assert err.max() / (np.abs(ref).max() + 1e-9) < 2e-2, err.max()
     # the overdrive was actually limited
     assert np.abs(got[0][3 * B:4 * B]).max() < 1.05
+
+
+def test_txalc_matches_oracle_complex_ssb():
+    """TxALC conformance on COMPLEX SSB IQ, not just real envelopes: the
+    reference's process_alc runs on the modulated complex samples
+    (microphone.c:270, magn = cabs) — two-tone analytic audio with an
+    overdriven stretch must track the float64 oracle in both I and Q
+    (VERDICT r2 #8)."""
+    n = 12 * B
+    t = np.arange(n) / FS
+    # analytic two-tone (the standard SSB test signal): |x| beats 0..0.4
+    x = 0.2 * (np.exp(2j * np.pi * 700.0 * t) + np.exp(2j * np.pi * 1900.0 * t))
+    x[3 * B:5 * B] *= 7.0                     # overdriven segment
+    x = x.astype(np.complex128)
+    modes = np.full(n, int(Mode.USB))
+    ref, gtrace = alc_oracle(x, modes, FS)
+    alc = TxALC.create(FS, mode=int(Mode.USB), channels=1)
+    st, got = _stream(alc, alc.init_state(1), x[None].astype(np.complex64))
+    err = np.abs(got[0] - ref)
+    assert err.max() / np.abs(ref).max() < 2e-2, err.max() / np.abs(ref).max()
+    # the overdrive is limited on the complex ENVELOPE
+    assert np.abs(got[0][4 * B:5 * B]).max() < 1.05
 
 
 def test_txalc_per_mode_gain_memory():
