@@ -585,8 +585,15 @@ def main():
               "",
               "| stage | marginal ms/block |",
               "|---|---|"]
-    for s in feat_stages:
+    for s in feat_stages[:1]:
         lines.append(f"| {s['stage']} | {s['ms']} |")
+    for s in feat_stages[1:]:
+        # prefix differencing cannot resolve stages under ~1 ms at these
+        # iteration counts: print sub-noise rows as a bound, not a
+        # (possibly negative) point estimate
+        ms = s["ms"]
+        lines.append(f"| {s['stage']} | "
+                     f"{'<1 (below noise floor)' if ms < 1.0 else ms} |")
     lines += ["",
               "The base-chain row absorbs the dispatch floor and any",
               "tunnel contention during its window (it can exceed the",
@@ -603,6 +610,36 @@ def main():
               f"- {tx['metric']}: {tx['value']} {tx['unit']} "
               f"({tx['ms_per_block']} ms/block)",
               ""]
+    # host ingest plane (no TPU): regenerate the native-pump section so a
+    # BENCH_DETAIL rewrite never drops it (quisk.c:3284/3519 parity)
+    try:
+        import bench_ingest
+        ing = []
+        for codec, n_rx in (("hiqsdr", 1), ("metis", 8)):
+            r = bench_ingest.run_config(codec, n_rx, 400_000, 16384)
+            ing.append((f"{codec} {n_rx} rx, max blast rate",
+                        r["drained_msps"], r))
+        spf = 2 * ((512 - 8) // (8 * 6 + 2))
+        pace = 4.0 * 384_000 / spf
+        r = bench_ingest.run_config("metis", 8, int(pace * 3), 16384,
+                                    pace_pps=pace)
+        ok = r["seq_errors"] == 0 and r["ring_overruns"] == 0
+        ing.append((f"metis 8 rx, paced 4x real-time "
+                    f"({'zero' if ok else r['seq_errors']} seq errors)",
+                    r["drained_msps"], r))
+        lines += ["## Host ingest (native C++ pump: recvmmsg + parse + "
+                  "lock-free rings; no TPU)", "",
+                  "| stream | aggregate Msps (drained) |", "|---|---|"]
+        for name, msps, _ in ing:
+            lines.append(f"| {name} | {msps} |")
+        lines += ["",
+                  "Reference ceiling: 8 receivers x 384 kHz through the C "
+                  "readers = 3.07 Msps aggregate (quisk.c:3519-3820); "
+                  "seq errors at max blast rate are kernel UDP drops on "
+                  "the sender side, the paced row is the integrity "
+                  "contract.", ""]
+    except Exception as e:                     # host sockets unavailable
+        lines += [f"(host ingest section skipped: {e})", ""]
     with open("/root/repo/BENCH_DETAIL.md", "w") as f:
         f.write("\n".join(lines))
 
