@@ -249,8 +249,11 @@ class FlexZZProtocol:
         i = min(max(round((self.smeter() + 140) * 2), 0), 260)
         return "%s%03d;" % (n, i)
 
-    def _ZZSP(self, n, d):                 # split status
-        return "%s%d;" % (n, 1 if self.state.split else 0)
+    def _ZZSP(self, n, d):                 # split on/off
+        if not d:
+            return "%s%d;" % (n, 1 if self.state.split else 0)
+        self.state.set("split", d[0] == "1")
+        return ""
 
     def _ZZSW(self, n, d):                 # TX VFO is B when split
         return self._ZZSP(n, d)
@@ -258,8 +261,31 @@ class FlexZZProtocol:
     def _FR(self, n, d):                   # receive VFO is always A
         return "%s0;" % n if not d else ""
 
-    def _FT(self, n, d):                   # transmit VFO
-        return "%s%d;" % (n, 1 if self.state.split else 0) if not d else ""
+    def _FT(self, n, d):                   # transmit VFO (FT1 = split: TX
+        if not d:                          # on VFO B, Kenwood TS-2000)
+            return "%s%d;" % (n, 1 if self.state.split else 0)
+        self.state.set("split", d[0] == "1")
+        return ""
+
+    # -- RIT (Kenwood RT/RU/RD/RC; reported in the IF block like
+    # quisk.py:580-600 reads ritScale/ritButton) ----------------------------
+    def _RT(self, n, d):                   # RIT on/off
+        if not d:
+            return "%s%d;" % (n, 1 if self.state.rit_on else 0)
+        self.state.set("rit_on", d[0] == "1")
+        return ""
+
+    def _RU(self, n, d):                   # RIT up (RUnnnn or 10 Hz step)
+        self.state.set("rit", self.state.rit + (int(d) if d else 10))
+        return ""
+
+    def _RD(self, n, d):                   # RIT down
+        self.state.set("rit", self.state.rit - (int(d) if d else 10))
+        return ""
+
+    def _RC(self, n, d):                   # RIT clear
+        self.state.set("rit", 0)
+        return ""
 
     def _XT(self, n, d):                   # no XIT
         return "%s0;" % n if not d else ""

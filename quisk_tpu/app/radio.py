@@ -81,6 +81,14 @@ class Radio:
         self.cat_ptt = False             # PTT latched by a CAT client
         self.manual_ptt = False          # the PTT button (set_ptt)
         self.manual_key = False          # a host-driven CW key (set_cw_key)
+        # split RX/TX + RIT (quisk.py:4012 split_rxtx / 2112 ritFreq;
+        # QS.set_tune(rxFreq + ritFreq, txFreq) at quisk.py:5781)
+        self.split_rxtx = 0              # 0 = off; 1..4 = play option
+        self.split_offset = 0.0          # remembered tx-rx spacing
+        self.tx_freq_hz = self.freq_hz   # TX dial (== RX dial unsplit)
+        self.rit_hz = 0.0
+        self.rit_on = False
+        self._split_saved = None         # channel-1 state to restore
         self._keyed = False              # current TX state of the loop
         self.mic = None                  # AudioCapture (enable_mic)
         self.tx_iq_last = None           # most recent transmitted IQ block
@@ -188,12 +196,22 @@ class Radio:
                 self.offsets[c] = new_off
         self.cfg.tune_hz = offset
         self.offsets[0] = offset
-        self.hw.ChangeFrequency(int(self.freq_hz), int(self.vfo_hz))
+        if not self.split_rxtx:
+            # unsplit: TX rides the RX dial (quisk.py OnBtnSplit else-arm:
+            # txFreq = rxFreq); hardware is always told the TX dial like
+            # ChangeHwFrequency(self.txFreq, self.VFO)
+            self.tx_freq_hz = self.freq_hz
+        else:
+            self._apply_split_channel()
+        self.hw.ChangeFrequency(int(self.tx_freq_hz), int(self.vfo_hz))
+        self._update_tx_tune()
         self._retune()
 
     def set_mode(self, mode: str) -> None:
         self.cfg.mode = mode
         self.channel_modes[0] = mode
+        if self.split_rxtx and self.cfg.channels > 1:
+            self.channel_modes[1] = mode   # split monitor follows the mode
         self.hw.ChangeMode(mode)
         self._retune()
         if getattr(self, "tx", None) is not None:
@@ -304,17 +322,119 @@ class Radio:
             self.routes[channel] = route
         self._retune()
 
+    # ---- split RX/TX + RIT (quisk.py:5783 OnBtnSplit, 2112 ritFreq;
+    # the second demod bank + play routings are quisk.c:2537-2590) --------
+    def set_rit(self, rit_hz: float, on: bool | None = None) -> None:
+        """Receive incremental tuning (ritButton/ritScale): shifts the
+        demod tune by ``rit_hz`` while the dial, the hardware, and TX
+        stay put (QS.set_tune(rxFreq + ritFreq, txFreq), quisk.py:5781);
+        the split monitor bank shifts too (quisk.c:2538)."""
+        self.rit_hz = float(rit_hz)
+        self.rit_on = bool(abs(self.rit_hz) > 0 if on is None else on)
+        self._retune()
+
+    def set_split(self, enable: bool, tx_freq: float | None = None,
+                  play: int = 1) -> None:
+        """Split RX/TX: on enable, TX moves to ``tx_freq`` (default
+        rx + 1 kHz in CW / 3 kHz voice, spacing remembered across
+        toggles, quisk.py:5786-5793) and demod bank 1 monitors the TX
+        frequency with the reference's four play routings (quisk.c:2548:
+        1 = stereo, higher frequency left; 2 = stereo, lower left;
+        3 = mono RX; 4 = mono TX monitor).  The monitor bank needs
+        cfg.channels >= 2; TX-side split works on any channel count."""
+        if enable:
+            if tx_freq is None:
+                if self.split_offset == 0.0:
+                    self.split_offset = (1000.0 if self.cfg.mode in
+                                         ("CWL", "CWU") else 3000.0)
+                tx_freq = self.freq_hz + self.split_offset
+            self.tx_freq_hz = float(tx_freq)
+            self.split_offset = self.tx_freq_hz - self.freq_hz
+            self.split_rxtx = int(play)
+            if self._split_saved is None and self.cfg.channels > 1:
+                self._split_saved = (float(self.offsets[1]),
+                                     self.channel_modes[1], self.routes[1])
+            self._apply_split_channel()
+        else:
+            if self.split_rxtx:
+                self.split_offset = self.tx_freq_hz - self.freq_hz
+            self.split_rxtx = 0
+            self.tx_freq_hz = self.freq_hz
+            if self._split_saved is not None:
+                (self.offsets[1], self.channel_modes[1],
+                 self.routes[1]) = self._split_saved
+                self._split_saved = None
+            self.routes[0] = "both"
+        self.hw.ChangeFrequency(int(self.tx_freq_hz), int(self.vfo_hz))
+        self._update_tx_tune()
+        self._retune()
+
+    def set_tx_frequency(self, tx_freq: float) -> None:
+        """Move the TX dial while split (CAT FT/ZZFB traffic lands
+        here); unsplit it tunes both sides via :meth:`set_frequency`."""
+        if not self.split_rxtx:
+            self.set_frequency(tx_freq)
+            return
+        self.tx_freq_hz = float(tx_freq)
+        self.split_offset = self.tx_freq_hz - self.freq_hz
+        self._apply_split_channel()
+        self.hw.ChangeFrequency(int(self.tx_freq_hz), int(self.vfo_hz))
+        self._update_tx_tune()
+        self._retune()
+
+    def _apply_split_channel(self) -> None:
+        """Point demod bank 1 at the TX frequency and set the stereo play
+        routing (quisk.c:2548-2590; real part = left ear here)."""
+        if self.cfg.channels < 2:
+            return
+        off = self.tx_freq_hz - self.vfo_hz
+        half = 0.5 * self.cfg.sample_rate
+        if abs(off) > half:
+            off = float(np.clip(off, -half, half))
+            self.status.count("subrx_out_of_band")
+        self.offsets[1] = off
+        self.channel_modes[1] = self.channel_modes[0]
+        play = self.split_rxtx
+        if play == 3:                      # mono receive channel
+            self.routes[0], self.routes[1] = "both", "off"
+        elif play == 4:                    # mono transmit monitor
+            self.routes[0], self.routes[1] = "off", "both"
+        else:
+            hi_is_main = self.freq_hz >= self.tx_freq_hz
+            main_left = hi_is_main if play == 1 else not hi_is_main
+            self.routes[0] = "left" if main_left else "right"
+            self.routes[1] = "right" if main_left else "left"
+
+    def _update_tx_tune(self) -> None:
+        """Keep the TX chain's baseband tune in sync: radios whose own
+        DDS places TX (hw.tx_dds) transmit at baseband DC; soundcard
+        radios get the digital rotation to tx_freq - VFO (sound.c:708)."""
+        if getattr(self, "tx", None) is None:
+            return
+        off = (0.0 if getattr(self.hw, "tx_dds", True)
+               else self.tx_freq_hz - self.vfo_hz)
+        self.tx = self.tx.set_tune(off)
+
     def _retune(self) -> None:
         modes = [int(Mode[m]) for m in self.channel_modes]
         want_iq = any(m == "DGT_IQ" for m in self.channel_modes)
+        # RIT shifts the DEMOD tune only — not the dial, the hardware, or
+        # TX (quisk.py:5781 QS.set_tune(rxFreq + ritFreq, txFreq)); the
+        # split monitor bank gets it too (quisk.c:2538 tx_tune + rit)
+        offsets = np.array(self.offsets, np.float64)
+        rit = self.rit_hz if self.rit_on else 0.0
+        if rit:
+            offsets[0] += rit
+            if self.split_rxtx and len(offsets) > 1:
+                offsets[1] += rit
         # manual notch database entries that land in each channel's
         # passband, carved into the channel filter (wdsp/nbp.c semantics)
         notches = None
         if len(self.notch_db):
             from quisk_tpu.rx.chain import _cw_rit
             rits = _cw_rit(np.asarray(modes), self.rx_cfg.cw_pitch)
-            notches = [self.notch_db.baseband(self.vfo_hz + off, rit)
-                       for off, rit in zip(self.offsets, rits)]
+            notches = [self.notch_db.baseband(self.vfo_hz + off, r)
+                       for off, r in zip(offsets, rits)]
             self._notched = True
         elif getattr(self, "_notched", False):
             # last notch removed: one clean redesign to uncarve the masks
@@ -324,7 +444,7 @@ class Radio:
             # complex pass-through is a create-time static (it changes the
             # chain's output dtype): rebuild + reset carried state — the
             # one retune that does recompile
-            self.chain = RxChain.create(self.rx_cfg, tune_hz=self.offsets,
+            self.chain = RxChain.create(self.rx_cfg, tune_hz=offsets,
                                         mode=modes)
             self._pstate = pack_tree(self.chain.init_state())
             self._apply_trim()
@@ -332,7 +452,7 @@ class Radio:
                 self.chain = self.chain.retune(self.rx_cfg, mode=modes,
                                                notches_hz=notches)
         else:
-            self.chain = self.chain.retune(self.rx_cfg, tune_hz=self.offsets,
+            self.chain = self.chain.retune(self.rx_cfg, tune_hz=offsets,
                                            mode=modes, notches_hz=notches)
         self._dirty = True
 
@@ -429,6 +549,17 @@ class Radio:
             self.cat_ptt = bool(value)
             if getattr(self, "tx", None) is None:
                 self.hw.OnButtonPTT(self.cat_ptt)
+        elif field == "tx_freq":
+            self.set_tx_frequency(float(value))
+        elif field == "split":
+            # clients enable split first, then send the TX freq (hamlib
+            # S / I order) — enable with the remembered spacing and let
+            # the tx_freq change that follows move the TX dial
+            self.set_split(bool(value))
+        elif field in ("rit", "rit_on"):
+            st = self._cat_state()
+            self.set_rit(float(getattr(st, "rit", 0.0)),
+                         on=bool(getattr(st, "rit_on", False)))
 
     def _cat_state(self):
         """One RadioState shared by every CAT surface (rigctld, serial
@@ -758,6 +889,7 @@ class Radio:
                 "preemph": float(tx_kwargs.get("preemphasis", 0.0))}
         self.tx_audio = {f: dict(seed) for f in ("Usb", "Am", "Fm", "Fdv")}
         self._apply_tx_audio()
+        self._update_tx_tune()           # soundcard radios / split TX
 
     def transmit(self, mic_block: np.ndarray, ptt: bool = False,
                  cw_key: bool = False) -> np.ndarray | None:

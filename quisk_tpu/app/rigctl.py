@@ -83,7 +83,8 @@ class _Handler(socketserver.StreamRequestHandler):
             "\\set_freq": "F", "\\get_freq": "f", "\\set_mode": "M",
             "\\get_mode": "m", "\\set_ptt": "T", "\\get_ptt": "t",
             "\\set_vfo": "V", "\\get_vfo": "v", "\\set_split_vfo": "S",
-            "\\get_split_vfo": "s", "\\dump_state": "\\dump_state",
+            "\\get_split_vfo": "s", "\\set_split_freq": "I",
+            "\\get_split_freq": "i", "\\dump_state": "\\dump_state",
             "\\chk_vfo": "\\chk_vfo", "\\quit": "q",
         }
         cmd = long_to_short.get(cmd, cmd)
@@ -132,6 +133,11 @@ class _Handler(socketserver.StreamRequestHandler):
         if cmd == "s":
             return reply(f"{1 if st.split else 0}\n{st.vfo}\n",
                          echo="get_split_vfo")
+        if cmd == "I":
+            st.set("tx_freq", int(float(args[0])))
+            return reply(echo=f"set_split_freq {args[0]}")
+        if cmd == "i":
+            return reply(f"{st.tx_freq}\n", echo="get_split_freq")
         if cmd in ("q", "Q"):
             return []
         return reply(code=-11)        # RIG_ENAVAIL: command not available

@@ -22,12 +22,16 @@ Protocol (one WebSocket, path ``/ws``):
   quisk.c:4868); 20-byte aligned header.
 - server -> client, text: JSON state ``{"freq": .., "vfo": .., "mode":
   .., "modes": [..], "channels": N, "subrx": [{channel, freq, mode,
-  route}..], "keyed": bool, "tx": bool, "spot": f, "zoom": z,
+  route}..], "keyed": bool, "tx": bool, "spot": f, "split": 0-4,
+  "tx_freq": hz, "rit": hz, "rit_on": bool, "zoom": z,
   "zoom_center": hz|null}`` on connect and after any change.
 - client -> server, text: JSON ``{"cmd": "freq", "value": hz}``,
   ``{"cmd": "mode", "value": "USB"}``, ``{"cmd": "subrx", "channel": c,
   "freq": hz, "mode": m, "route": r}``, ``{"cmd": "ptt", "value":
-  bool}``, ``{"cmd": "spot", "value": level}``, ``{"cmd": "zoom",
+  bool}``, ``{"cmd": "spot", "value": level}``, ``{"cmd": "split",
+  "value": bool, "tx_freq": hz?, "play": 1-4?}``, ``{"cmd": "tx_freq",
+  "value": hz}``, ``{"cmd": "rit", "value": hz, "on": bool?}``,
+  ``{"cmd": "zoom",
   "value": z, "center": hz}`` (z >= 1; center pans the window).
 
 The page renders the spectrum as a polyline and feeds the same rows into
@@ -74,6 +78,12 @@ _PAGE = """<!DOCTYPE html>
   style="width:4em">
  <button onclick="zoomBy(2)">Zoom+</button>
  <button onclick="zoomBy(0.5)">Zoom-</button>
+ <button id="split" onclick="toggleSplit()">Split</button>
+ <input id="txfreq" type="number" step="100" style="width:8em"
+  onchange="send({cmd:'tx_freq',value:+this.value})">
+ <button id="rit" onclick="toggleRit()">RIT</button>
+ <input id="ritval" type="number" step="10" value="0" style="width:4em"
+  onchange="send({cmd:'rit',value:+this.value,on:state.rit_on})">
  <span style="color:#888">(click spectrum to pan when zoomed)</span>
 </div>
 <canvas id="spec" width="1024" height="220"></canvas>
@@ -101,6 +111,9 @@ function pal(t){t=Math.min(1,Math.max(0,t));
   return [a[1]+u*(b[1]-a[1]),a[2]+u*(b[2]-a[2]),a[3]+u*(b[3]-a[3])];}}
  return [255,0,0];}
 function togglePtt(){send({cmd:'ptt',value:!state.keyed});}
+function toggleSplit(){send({cmd:'split',value:!state.split});}
+function toggleRit(){send({cmd:'rit',
+ value:+document.getElementById('ritval').value,on:!state.rit_on});}
 function toggleSpot(){
  const lvl=+document.getElementById('spotlvl').value;
  send({cmd:'spot',value:(state.spot>=0)?-1:lvl});}
@@ -138,6 +151,9 @@ ws.onmessage=(ev)=>{
     .className=(m===state.mode)?'on':'';
   document.getElementById('ptt').className=state.keyed?'on':'';
   document.getElementById('spot').className=(state.spot>=0)?'on':'';
+  document.getElementById('split').className=state.split?'on':'';
+  document.getElementById('rit').className=state.rit_on?'on':'';
+  document.getElementById('txfreq').value=state.tx_freq;
   renderSubrx();
   return;}
  const dv=new DataView(ev.data);
@@ -341,6 +357,12 @@ class WebUIServer:
                 "keyed": bool(getattr(c, "_keyed", False)),
                 "tx": getattr(c, "tx", None) is not None,
                 "spot": getattr(c, "spot_level", -1.0),
+                # split RX/TX + RIT (quisk.py splitButton/ritButton row)
+                "split": getattr(c, "split_rxtx", 0),
+                "tx_freq": getattr(c, "tx_freq_hz",
+                                   getattr(c, "freq_hz", 0.0)),
+                "rit": getattr(c, "rit_hz", 0.0),
+                "rit_on": getattr(c, "rit_on", False),
                 "zoom": self.zoom,
                 "zoom_center": self.zoom_center}
 
@@ -429,6 +451,15 @@ class WebUIServer:
             self.control.set_ptt(bool(msg["value"]))
         elif cmd == "spot" and hasattr(self.control, "set_spot"):
             self.control.set_spot(float(msg["value"]))
+        elif cmd == "split" and hasattr(self.control, "set_split"):
+            self.control.set_split(bool(msg["value"]),
+                                   tx_freq=msg.get("tx_freq"),
+                                   play=int(msg.get("play", 1)))
+        elif cmd == "tx_freq" and hasattr(self.control, "set_tx_frequency"):
+            self.control.set_tx_frequency(float(msg["value"]))
+        elif cmd == "rit" and hasattr(self.control, "set_rit"):
+            self.control.set_rit(float(msg["value"]),
+                                 on=msg.get("on"))
         elif cmd == "zoom":
             z = float(msg["value"])
             if not 1.0 <= z <= 1024.0:

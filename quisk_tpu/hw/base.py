@@ -45,6 +45,13 @@ class Hardware:
     #: populated by open(): text shown to the user (ref: return of open())
     status_text: str = ""
 
+    #: True when the radio's own TX DDS/mixer places the transmit signal
+    #: at the requested tx_frequency (network radios: HiQSDR, Hermes).
+    #: False = soundcard-style TX centered on a fixed VFO, so the host
+    #: must rotate the outgoing IQ to the TX offset digitally — the
+    #: reference's tx_mic_phase path (sound.c:708/1118).
+    tx_dds: bool = True
+
     def __init__(self, conf=None):
         self.conf = conf
         self.vfo_frequency = 0

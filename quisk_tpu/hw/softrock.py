@@ -78,6 +78,10 @@ class SoftrockHardware(Hardware):
     clock); tuning writes Si570 registers through the injected USB
     transport (anything with ``write_registers(bytes)``)."""
 
+    # soundcard TX centered on the Si570 VFO: the host rotates the
+    # outgoing IQ to the TX offset (sound.c:708 tx_mic_phase path)
+    tx_dds = False
+
     def __init__(self, conf=None, transport=None,
                  fxtal_hz: float = DEFAULT_FXTAL, multiplier: float = 4.0):
         super().__init__(conf)

@@ -73,6 +73,11 @@ class TxChain:
     # replaces the TX output with a plain carrier at that amplitude
     # (reference level 0..1000 -> 0..1.0); -1 = off.  Pure data.
     spot: jnp.ndarray                   # [C, 1] f32
+    # TX baseband tune (sound.c:708/1118: tx_mic_phase rotates the
+    # outgoing IQ by tx_tune_freq at the playback rate) — used when the
+    # hardware cannot place TX itself (soundcard radios, split TX); the
+    # uint32 NCO word is pure data so retunes/split never recompile
+    tune: "object"                      # NCO at the TX rate, word 0 = off
     pm_gain: jnp.ndarray                # rad per unit *bandpassed* audio
     ctcss_word: jnp.ndarray             # rad/sample CTCSS increment
     ctcss_amp: jnp.ndarray              # rad CTCSS phase amplitude
@@ -151,7 +156,9 @@ class TxChain:
         trim = (jnp.ones((C, 1), jnp.float32),
                 jnp.zeros((C, 1), jnp.float32),
                 jnp.ones((C, 1), jnp.float32))
-        return cls(analytic=analytic, phrot=phrot, trim=trim,
+        from quisk_tpu.ops.nco import NCO
+        tune = NCO.create(np.zeros(C), config.tx_rate, B * L, C)
+        return cls(analytic=analytic, phrot=phrot, trim=trim, tune=tune,
                    spot=jnp.full((C, 1), -1.0, jnp.float32),
                    preemph=pre, comp=comp, alc=alc,
                    cessb=cessb, predist=predist, interp=interp, mode=m,
@@ -187,6 +194,7 @@ class TxChain:
             "preemph": self.preemph.init_state(C) if self.preemph else (),
             "alc": self.alc.init_state(C) if self.alc else (),
             "ctcss_phase": jnp.zeros((C,), jnp.float32),
+            "tune_phase": self.tune.init_state(C),
             "interp": self.interp.init_state(C) if self.interp else (),
             "cessb": self.cessb.init_state(C) if self.cessb else (),
         }
@@ -269,11 +277,33 @@ class TxChain:
         # (microphone.c:1218 transmit_mic_carrier at the full TX rate)
         iq = jnp.where(self.spot >= 0.0,
                        self.spot.astype(jnp.complex64), iq)
+        # TX baseband tune (sound.c:708/1118): rotate the outgoing IQ up
+        # to the TX offset.  The RX front end mixes DOWN by x*conj(z)
+        # (ops/nco.py), so multiplying by z places the signal at +f where
+        # the RX tuned to +f recovers it; the spot carrier rides the same
+        # rotation, appearing at the TX frequency like the reference's
+        # tuneVector carrier.  word==0 is an exact identity.
+        st["tune_phase"], ztune = self.tune.phasor(st["tune_phase"])
+        iq = iq * ztune
         # last: TX I/Q balance trim at the device boundary (sound.c:735)
         m00, m10, m11 = self.trim
         re, im = jnp.real(iq), jnp.imag(iq)
         iq = jnp.asarray(m00 * re + 1j * (m10 * re + m11 * im), iq.dtype)
         return st, iq
+
+    def set_tune(self, offset_hz, channel=None) -> "TxChain":
+        """New chain transmitting at ``offset_hz`` from the hardware TX
+        center (sound.c:708: tx_mic_phase from quisk_tx_tune_freq; set by
+        QS.set_tune with the VFO-relative txFreq, quisk.py:5781) — pure
+        data: the uint32 NCO word swap never recompiles."""
+        from quisk_tpu.ops.nco import freq_word
+        rate = self.audio_rate * (self.block_tx / self.block)
+        if channel is None:
+            word = freq_word(np.full(self.channels, float(offset_hz)), rate)
+        else:
+            word = self.tune.word.at[channel].set(
+                freq_word(float(offset_hz), rate)[0])
+        return self.replace(tune=self.tune.replace(word=word))
 
     def set_spot(self, level: float, channel=None) -> "TxChain":
         """Spot button (microphone.c:1218): ``level`` 0..1 transmits a
