@@ -3,6 +3,7 @@
 import json
 
 import numpy as np
+import pytest
 
 from quisk_tpu.app.cli import main as cli_main
 from quisk_tpu.app.config import RadioConfig, Settings
@@ -20,6 +21,7 @@ def test_wav_roundtrip(tmp_path):
     assert dsp.snr_db(iq, iq2) > 80  # int16 quantisation ~90 dB for this
 
 
+@pytest.mark.slow
 def test_cli_tx_rx_roundtrip(tmp_path):
     v = sources.voice_like(48000.0, 48000)
     v = 0.5 * v / np.max(np.abs(v))

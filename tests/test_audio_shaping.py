@@ -92,6 +92,7 @@ def test_cfcomp_identity_at_unity():
 
 
 # ---------------------------------------------------------------- Biquad
+@pytest.mark.slow
 def test_biquad_matches_scipy_lfilter():
     bq = Biquad.notch(1000.0, FS, q=10.0)
     rng = np.random.default_rng(4)
@@ -103,6 +104,7 @@ def test_biquad_matches_scipy_lfilter():
     assert np.max(np.abs(y - ref)) < 5e-3
 
 
+@pytest.mark.slow
 def test_biquad_notch_kills_tone():
     bq = Biquad.notch(600.0, FS, q=30.0)
     n = 8 * B

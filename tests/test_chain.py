@@ -132,6 +132,7 @@ def test_chain_step_equals_process():
     np.testing.assert_allclose(np.asarray(a_scan), a_steps, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_step_blocks_matches_sequential_steps():
     """step_blocks (multi-block single dispatch) must be bit-identical to
     successive step() calls — same carried state, concatenated audio."""
@@ -181,6 +182,7 @@ def test_step_blocks_matches_sequential_steps():
 
 @pytest.mark.parametrize("fs", [53000., 111111., 133333., 185185.,
                                 370370., 740740., 1333333.])
+@pytest.mark.slow
 def test_chain_runs_at_sdriq_rates(fs):
     """End-to-end smoke at the reference's SDR-IQ family rates
     (quisk.c:1731-1768 hardcoded chains; here the planner generalizes):

@@ -1,6 +1,7 @@
 """The optional RX chain stages (NB/notch/NR/ANF/squelch) wired end-to-end."""
 
 import numpy as np
+import pytest
 
 from quisk_tpu.io import sources
 from quisk_tpu.modes import Mode
@@ -28,6 +29,7 @@ def _ssb_capture(n, tone_audio_hz=0.0):
     return sources.ssb_signal(voice, FS)[None]
 
 
+@pytest.mark.slow
 def test_full_stage_chain_runs_and_is_finite():
     cfg = RxChainConfig(sample_rate=FS, channels=2, audio_block=2048,
                         agc=True, noise_blanker=2, auto_notch=True,

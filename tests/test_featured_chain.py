@@ -9,6 +9,7 @@ quisk.c:2289) and that the feature set actually beats the plain chain.
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from quisk_tpu.io import sources
@@ -53,6 +54,7 @@ def _tone_to_voice_db(seg):
     return 10 * np.log10(tone / voice)
 
 
+@pytest.mark.slow
 def test_featured_chain_beats_plain_chain():
     featured = RxChain.create(
         RxChainConfig(sample_rate=FS, channels=1, audio_block=2048,
@@ -95,6 +97,7 @@ def test_featured_chain_all_stages_run():
         assert np.isfinite(np.asarray(a)).all()
 
 
+@pytest.mark.slow
 def test_featured_chain_sharded_matches_unsharded():
     # every optional stage (NB, auto-notch, ANF, NR2, squelches) under
     # channel sharding on the 8-device mesh must reproduce the unsharded

@@ -235,6 +235,7 @@ def test_tx_phrot_reduces_peak_to_average():
     assert rot < base * 0.9, (base, rot)
 
 
+@pytest.mark.slow
 def test_front_cond_sharded_matches_unsharded():
     # the conditioner is per-channel elementwise + time-axis matmuls, so
     # channel sharding must be exact; compare a sharded front_cond+dc run

@@ -16,6 +16,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # 2-process jax.distributed job
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 NPROC = 2

@@ -1,6 +1,7 @@
 """Noise reduction ops: spectral NR, block-LMS ANF/ANR, synchronous AM."""
 
 import numpy as np
+import pytest
 
 from quisk_tpu.io import sources
 from quisk_tpu.oracle import dsp
@@ -19,6 +20,7 @@ def _stream(op, x, nblk):
     return np.concatenate(outs, axis=-1)
 
 
+@pytest.mark.slow
 def test_spectral_nr_improves_snr():
     n = 24 * B
     t = np.arange(n) / FS
@@ -36,6 +38,7 @@ def test_spectral_nr_improves_snr():
     assert snr_out > snr_in + 5.0, (snr_in, snr_out)
 
 
+@pytest.mark.slow
 def test_spectral_nr_passes_clean_voice():
     n = 16 * B
     t = np.arange(n) / FS
@@ -83,6 +86,7 @@ def test_blocklms_anr_keeps_tone_drops_noise():
     assert snr_out > snr_in + 6.0, (snr_in, snr_out)
 
 
+@pytest.mark.slow
 def test_sync_am_locks_and_demodulates():
     n = 16 * B
     audio = sources.voice_like(FS, n, band=(300.0, 2500.0))

@@ -41,6 +41,7 @@ def test_fused_op_matches_reference():
     (384000.0, 8),      # /8 = 2*2*2: three HB45s fuse into one pass
     (960000.0, 20),     # flagship /20 = 2*2*5: whole cascade fuses
 ])
+@pytest.mark.slow
 def test_fused_chain_equals_unfused(fs, fused_decim):
     C = 128
     cfg = dict(sample_rate=fs, channels=C, audio_block=512, agc=True)

@@ -2,6 +2,7 @@
 diversity combining."""
 
 import numpy as np
+import pytest
 
 from quisk_tpu.io.ratematch import RateServo, VarRateResampler
 from quisk_tpu.ops.diversity import (DiversityCombiner,
@@ -62,6 +63,7 @@ def test_rate_servo_holds_fill_under_skew():
 
 
 # ---------------------------------------------------------- spectral NB
+@pytest.mark.slow
 def test_spectral_nb_removes_impulses_keeps_tone():
     snb = SpectralNoiseBlanker.create(B)
     n = 16 * B

@@ -3,10 +3,12 @@ virtual devices and reports well-formed throughput/efficiency points
 (BASELINE.md scaling row; the real-slice numbers come from the same code)."""
 
 import numpy as np
+import pytest
 
 from quisk_tpu.parallel.scaling import format_table, measure_scaling
 
 
+@pytest.mark.slow
 def test_measure_scaling_points():
     pts = measure_scaling(device_counts=(1, 2, 4), channels_per_device=8,
                           sample_rate=192000.0, audio_block=256, iters=1)

@@ -8,6 +8,9 @@ device equivalence tests."  These are those tests.
 """
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # halo-exchange chains on the 8-dev mesh
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -5,6 +5,8 @@ process_alc)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # f64-oracle conformance scans
+
 from quisk_tpu.modes import Mode
 from quisk_tpu.ops.agc import TxALC, WcpAGC
 from quisk_tpu.oracle.wcpagc import WcpParams, alc_oracle, wcpagc_oracle
