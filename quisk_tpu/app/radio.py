@@ -139,6 +139,9 @@ class Radio:
     # ---- lifecycle ------------------------------------------------------
     def open(self) -> str:
         status = self.hw.open()
+        # announce the initial dial/VFO (the reference tunes the hardware
+        # right after open, quisk.py:4345 post-open ChangeHwFrequency)
+        self.hw.ChangeFrequency(int(self.tx_freq_hz), int(self.vfo_hz))
         self.hw.StartSamples()
         return status
 
@@ -852,10 +855,10 @@ class Radio:
         # (the reference's mic section consumes one mic block per sound
         # loop iteration, sound.c:1034)
         tx_kwargs.setdefault("audio_block", self.chain.block_audio)
-        self.tx = TxChain.create(
-            TxChainConfig(channels=1, audio_rate=self.cfg.audio_rate,
-                          tx_rate=tx_rate or self.cfg.tx_rate, **tx_kwargs),
-            mode=int(self.cfg.modes()))
+        self.tx_config = TxChainConfig(
+            channels=1, audio_rate=self.cfg.audio_rate,
+            tx_rate=tx_rate or self.cfg.tx_rate, **tx_kwargs)
+        self.tx = TxChain.create(self.tx_config, mode=int(self.cfg.modes()))
         # the TX step crosses the same complex-free jit boundary as RX —
         # eager per-op dispatch of the ALC scan costs ~1.3 s/block on CPU,
         # 40x real time; jitted it is ~10 ms
@@ -999,6 +1002,7 @@ class Radio:
         keyed = self.ptt.process(ptt=ptt, cw_key=cw_key, vox=vox)
         if keyed != self._keyed:
             self.hw.OnButtonPTT(keyed)   # T/R switch (quisk.py:6695)
+            self._apply_repeater_offset(keyed)   # FM repeater shift+CTCSS
             self._keyed = keyed
             if getattr(self, "webui", None) is not None:
                 self.webui.send_state()  # live PTT indicator on the page
@@ -1071,3 +1075,121 @@ class Radio:
         (quisk.c:5212/5311; wdsp/analyzer.c window table)."""
         self.graph.set_window(window)
         self.cfg.graph_window = window
+
+    # ---- favorites / memory stations / station markers -------------------
+    # (ConfigFavorites quisk.py:1757, memoryState 3825 + 6228-6264,
+    # StationScreen 2598 — see quisk_tpu/app/stations.py)
+    def enable_favorites(self, path: str | None = None):
+        """Attach the favorites table (persisted at ``path``, the
+        reference's quisk_favorites.txt).  With no path the table lives
+        in memory only."""
+        from quisk_tpu.app.stations import Favorites
+        self.favorites = Favorites(path)
+        return self.favorites
+
+    @property
+    def memories(self):
+        """The memory-station bank, restored from Settings
+        ('memoryState'-equivalent persistence)."""
+        if getattr(self, "_memories", None) is None:
+            from quisk_tpu.app.stations import MemoryBank
+            saved = (self.settings.get_state().get("memories")
+                     if self.settings is not None else None)
+            self._memories = MemoryBank(saved)
+        return self._memories
+
+    def save_memory(self) -> None:
+        """The MemSave button (quisk.py:6228): snapshot the current
+        station (freq, band, VFO, TX offset, mode), sorted, replacing an
+        entry at the same frequency."""
+        self.memories.save(self.freq_hz, getattr(self, "band", ""),
+                           self.vfo_hz, self.tx_freq_hz - self.vfo_hz,
+                           self.cfg.mode)
+        self._persist_memories()
+
+    def next_memory(self) -> None:
+        """The MemNext button (quisk.py:6241): cycle to the next memory
+        above the current frequency (wrapping), restoring band/mode/VFO
+        like the reference (band change goes through set_band)."""
+        s = self.memories.next_after(self.freq_hz)
+        if s is None:
+            return
+        self._recall_memory(s)
+
+    def recall_memory(self, freq_hz: float) -> None:
+        """The memory popup menu (quisk.py:6213): tune to the memory at
+        ``freq_hz`` exactly."""
+        s = self.memories.at_freq(freq_hz)
+        if s is not None:
+            self._recall_memory(s)
+
+    def _recall_memory(self, s) -> None:
+        if s.band and s.band != getattr(self, "band", None):
+            # restore into the band state then switch (quisk.py:6251-6253)
+            if not hasattr(self, "band_state"):
+                self.band_state = {}
+            self.band_state[s.band] = [s.vfo, s.freq, s.mode]
+            self.set_band(s.band)
+        else:
+            self.set_mode(s.mode)
+            self.set_frequency(float(s.freq))
+
+    def delete_memory(self) -> None:
+        """The MemDelete button (quisk.py:6254): drop the entry at the
+        current frequency."""
+        if self.memories.delete(self.freq_hz):
+            self._persist_memories()
+
+    def _persist_memories(self) -> None:
+        if self.settings is not None:
+            self.settings.update_state(memories=self.memories.to_list())
+
+    def station_markers(self) -> list[dict]:
+        """The StationScreen rows (quisk.py:2646-2675) for the current
+        display span: favorites + memories + DX-cluster spots as data
+        (the web UI draws them under the spectrum)."""
+        from quisk_tpu.app.stations import station_markers
+        half = 0.5 * self.cfg.sample_rate
+        dx = getattr(getattr(self, "dx_cluster", None), "spots", None)
+        return station_markers(self.vfo_hz - half, self.vfo_hz + half,
+                               favorites=getattr(self, "favorites", None),
+                               memories=(self._memories
+                                         if getattr(self, "_memories", None)
+                                         else None),
+                               dx_spots=dx)
+
+    def tune_favorite(self, index: int) -> None:
+        """'Tune to' on a favorites row (quisk.py:1804): frequency and
+        mode from the table."""
+        e = self.favorites.entries[index]
+        if e.mode:
+            self.set_mode(e.mode.upper())
+        self.set_frequency(float(e.freq_hz))
+
+    def _apply_repeater_offset(self, keyed: bool) -> None:
+        """FM repeater TX shift + CTCSS tone from the favorites table on
+        key transitions (quisk.py:6677-6693: RepeaterDict lookup of the
+        TX dial rounded to 1 kHz, Hardware.RepeaterOffset + QS.set_ctcss;
+        restored on key-up)."""
+        if (getattr(self, "favorites", None) is None
+                or getattr(self, "tx", None) is None):
+            return
+        if self.cfg.mode not in ("FM", "DGT_FM"):
+            return
+        if keyed:
+            freq = ((int(self.tx_freq_hz) + 500) // 1000) * 1000
+            ent = self.favorites.repeater_dict().get(freq)
+            if ent is None:
+                return
+            offset, tone = ent
+            self.hw.RepeaterOffset(offset)
+            self.tx = self.tx.set_ctcss(tone,
+                                        self.tx_config.fm_deviation_hz,
+                                        self.tx_config.mic_band[1])
+            self._rptr_active = True
+        elif getattr(self, "_rptr_active", False):
+            self.hw.RepeaterOffset(0)
+            self.tx = self.tx.set_ctcss(self.tx_config.ctcss_hz,
+                                        self.tx_config.fm_deviation_hz,
+                                        self.tx_config.mic_band[1])
+            self._rptr_active = False

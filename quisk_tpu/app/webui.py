@@ -84,6 +84,9 @@ _PAGE = """<!DOCTYPE html>
  <button id="rit" onclick="toggleRit()">RIT</button>
  <input id="ritval" type="number" step="10" value="0" style="width:4em"
   onchange="send({cmd:'rit',value:+this.value,on:state.rit_on})">
+ <button onclick="send({cmd:'mem_save'})">MemSave</button>
+ <button onclick="send({cmd:'mem_next'})">MemNext</button>
+ <button onclick="send({cmd:'mem_delete'})">MemDel</button>
  <span style="color:#888">(click spectrum to pan when zoomed)</span>
 </div>
 <canvas id="spec" width="1024" height="220"></canvas>
@@ -183,6 +186,14 @@ ws.onmessage=(ev)=>{
   const y=spec.height*(1-(row[i]+140)/140);
   i?sctx.lineTo(x,y):sctx.moveTo(x,y);}
  sctx.stroke();
+ // station markers row (StationScreen): fav=yellow, mem=cyan, dx=pink
+ if(state.stations)for(const st of state.stations){
+  const x=(st.freq-f0)/df*spec.width/n;
+  if(x<0||x>spec.width)continue;
+  sctx.fillStyle={fav:'#fd4',mem:'#4dd',dx:'#f6a'}[st.kind]||'#fff';
+  sctx.fillRect(x,0,1,8);
+  sctx.font='10px sans-serif';
+  sctx.fillText(st.name||st.mode||'',x+2,10);}
  // waterfall scroll
  wctx.drawImage(wf,0,0,wf.width,wf.height-1,0,1,wf.width,wf.height-1);
  const img=wctx.createImageData(wf.width,1);
@@ -364,7 +375,12 @@ class WebUIServer:
                 "rit": getattr(c, "rit_hz", 0.0),
                 "rit_on": getattr(c, "rit_on", False),
                 "zoom": self.zoom,
-                "zoom_center": self.zoom_center}
+                "zoom_center": self.zoom_center,
+                # StationScreen rows (quisk.py:2598): favorites/memory/DX
+                # markers drawn above the spectrum, click-to-tune
+                "stations": (self.control.station_markers()
+                             if hasattr(self.control, "station_markers")
+                             else [])}
 
     def send_state(self) -> None:
         self._broadcast(ws_encode(json.dumps(self.state_dict())))
@@ -460,6 +476,14 @@ class WebUIServer:
         elif cmd == "rit" and hasattr(self.control, "set_rit"):
             self.control.set_rit(float(msg["value"]),
                                  on=msg.get("on"))
+        elif cmd == "mem_save" and hasattr(self.control, "save_memory"):
+            self.control.save_memory()
+        elif cmd == "mem_next" and hasattr(self.control, "next_memory"):
+            self.control.next_memory()
+        elif cmd == "mem_delete" and hasattr(self.control, "delete_memory"):
+            self.control.delete_memory()
+        elif cmd == "mem_recall" and hasattr(self.control, "recall_memory"):
+            self.control.recall_memory(float(msg["value"]))
         elif cmd == "zoom":
             z = float(msg["value"])
             if not 1.0 <= z <= 1024.0:

@@ -85,6 +85,25 @@ class Hardware:
         the radio did not change frequency on its own)."""
         return None, None
 
+    def RepeaterOffset(self, offset: float | None = None) -> bool:
+        """FM repeater TX shift (hermes/quisk_hardware.py:524-540):
+        ``offset`` kHz shifts the TX dial for the duration of the
+        transmission, 0 restores the original dial, None polls whether
+        the retune has settled (always True for this generic version —
+        radios with slow synthesizers override)."""
+        if offset is None:
+            return True
+        if offset == 0:
+            if getattr(self, "_repeater_freq", None) is not None:
+                self.ChangeFrequency(self._repeater_freq,
+                                     self.vfo_frequency, "repeater")
+                self._repeater_freq = None
+        else:
+            self._repeater_freq = self.tx_frequency
+            self.ChangeFrequency(self.tx_frequency + int(offset * 1000),
+                                 self.vfo_frequency, "repeater")
+        return True
+
     def ChangeMode(self, mode: str) -> None:
         self.mode = mode
 

@@ -291,6 +291,21 @@ class TxChain:
         iq = jnp.asarray(m00 * re + 1j * (m10 * re + m11 * im), iq.dtype)
         return st, iq
 
+    def set_ctcss(self, tone_hz: float, deviation_hz: float,
+                  band_hi: float) -> "TxChain":
+        """Retune/enable/disable the CTCSS tone — data only (the
+        reference's QS.set_ctcss on FM-repeater key-down, quisk.py:6684;
+        scaling per microphone.c:1242-1262, see create())."""
+        beta = deviation_hz / band_hi
+        if tone_hz > 9.0:
+            pm_gain, ct_amp = 2.0 * 0.85 * beta, 0.15 * deviation_hz / tone_hz
+        else:
+            pm_gain, ct_amp = 2.0 * beta, 0.0
+        return self.replace(
+            pm_gain=jnp.float32(pm_gain),
+            ctcss_word=jnp.float32(TWO_PI * tone_hz / self.audio_rate),
+            ctcss_amp=jnp.float32(ct_amp))
+
     def set_tune(self, offset_hz, channel=None) -> "TxChain":
         """New chain transmitting at ``offset_hz`` from the hardware TX
         center (sound.c:708: tx_mic_phase from quisk_tx_tune_freq; set by
