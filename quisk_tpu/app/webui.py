@@ -342,6 +342,35 @@ class WebUIServer:
                 self.unregister(h)
 
     # ---- app-facing API ----
+    def widget_panel(self):
+        """The headless widget tree (quisk_widgets.py semantics, see
+        app/widgets.py) bound to this radio; built lazily, synced to the
+        radio state before each serialization."""
+        if getattr(self, "_widgets", None) is None:
+            try:
+                from quisk_tpu.app.widgets import standard_panel
+                self._widgets = standard_panel(self.control)
+            except (AttributeError, TypeError):
+                self._widgets = False    # a non-Radio control object
+        return self._widgets or None
+
+    def _widget_json(self) -> list:
+        p = self.widget_panel()
+        if p is None:
+            return []
+        c = self.control
+        p["freq"].display(c.freq_hz)
+        p["entry"].set_freq(int(c.freq_hz))
+        p["mode"].set_label(c.cfg.mode)
+        if getattr(c, "band", None):
+            p["band"].set_label(c.band)
+        p["Vol"].set_value(int(c.volume * 100))
+        p["Mute"].set_value(c.muted)
+        p["RIT"].set_value(int(c.rit_hz))
+        p["Split"].set_index(int(getattr(c, "split_rxtx", 0)))
+        p["PTT"].set_value(bool(getattr(c, "_keyed", False)))
+        return p.to_json()
+
     def state_dict(self) -> dict:
         c = self.control
         nchan = getattr(getattr(c, "cfg", c), "channels", 1)
@@ -380,7 +409,10 @@ class WebUIServer:
                 # markers drawn above the spectrum, click-to-tune
                 "stations": (self.control.station_markers()
                              if hasattr(self.control, "station_markers")
-                             else [])}
+                             else []),
+                # the widget-model tree (quisk_widgets.py equivalents);
+                # frontends may render these instead of bespoke controls
+                "widgets": self._widget_json()}
 
     def send_state(self) -> None:
         self._broadcast(ws_encode(json.dumps(self.state_dict())))
@@ -484,6 +516,14 @@ class WebUIServer:
             self.control.delete_memory()
         elif cmd == "mem_recall" and hasattr(self.control, "recall_memory"):
             self.control.recall_memory(float(msg["value"]))
+        elif cmd == "widget":
+            p = self.widget_panel()
+            if p is None:
+                return
+            kw = {k: v for k, v in msg.items()
+                  if k not in ("cmd", "id", "event")}
+            if not p.dispatch(str(msg["id"]), str(msg["event"]), **kw):
+                return
         elif cmd == "zoom":
             z = float(msg["value"])
             if not 1.0 <= z <= 1024.0:
