@@ -445,10 +445,18 @@ def bench_featured_stages(iters: int = 10) -> list[dict]:
              "SSB squelch (spectral flatness)",
              "FM squelch (RF measure + gate)"]
     times = [timed_prefix(k) for k in range(len(names))]
+    # noise floor of the differencing: re-time the base prefix and take
+    # the spread — marginals inside it are unresolvable at these iters
+    # (VERDICT r2: negative sub-noise rows read as nonsense)
+    base2 = timed_prefix(0)
+    noise_ms = max(0.25, abs(base2 - times[0]) * 1e3)
     out = [{"stage": names[0], "ms": round(times[0] * 1e3, 3)}]
     for k in range(1, len(names)):
-        out.append({"stage": names[k],
-                    "ms": round((times[k] - times[k - 1]) * 1e3, 3)})
+        d_ms = (times[k] - times[k - 1]) * 1e3
+        row = {"stage": names[k], "ms": round(d_ms, 3)}
+        if abs(d_ms) < noise_ms:
+            row["below_noise_ms"] = round(noise_ms, 3)
+        out.append(row)
     return out
 
 
@@ -542,7 +550,7 @@ def main():
     it = max(3, args.iters // 2)
     stages = bench_stages(iters=it)
     feat = bench_featured(iters=it)
-    feat_stages = bench_featured_stages(iters=max(3, it // 2))
+    feat_stages = bench_featured_stages(iters=it)
     nfm = bench_nfm(iters=it)
     pfb = bench_pfb(iters=it)
     tx = bench_tx(iters=it)

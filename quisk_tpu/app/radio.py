@@ -447,8 +447,13 @@ class Radio:
             # complex pass-through is a create-time static (it changes the
             # chain's output dtype): rebuild + reset carried state — the
             # one retune that does recompile
+            old_ons = self.chain.ons
             self.chain = RxChain.create(self.rx_cfg, tune_hz=offsets,
                                         mode=modes)
+            # carry the runtime stage toggles across the rebuild
+            self.chain = self.chain.replace(
+                ons={k: old_ons.get(k, v)
+                     for k, v in self.chain.ons.items()})
             self._pstate = pack_tree(self.chain.init_state())
             self._apply_trim()
             if notches is not None:
@@ -516,6 +521,32 @@ class Radio:
         self._dirty = True
         if self.settings is not None:
             self.settings.update_state(ampl_phase=list(self.ampl_phase))
+
+    # ---- runtime DSP stage toggles (the reference's NB/Notch/NR2/AGC/
+    # Sqlch main-screen buttons, quisk.py:4917-4960) -----------------------
+    def set_stage(self, name: str, on: bool,
+                  channel: int | None = None) -> None:
+        """Toggle an optional DSP stage live — pure data, no recompile.
+        ``name`` in {'nb','notch','nr','anf','agc','squelch','fm_sq'};
+        raises KeyError if the chain was built without it."""
+        self.chain = self.chain.set_stage(name, bool(on), channel=channel)
+        self._dirty = True
+
+    def set_nb_level(self, level: int) -> None:
+        """The NB cycle button (NB 1/2/3): threshold as data; level 0
+        turns the blanker off."""
+        if int(level) == 0:
+            self.set_stage("nb", False)
+            return
+        self.chain = self.chain.set_nb_level(int(level))
+        if not self.chain.stage_on("nb"):
+            self.chain = self.chain.set_stage("nb", True)
+        self._dirty = True
+
+    def stage_states(self) -> dict:
+        """{stage: on} for every optional stage built into the chain."""
+        return {k: bool(np.asarray(v)[0, 0])
+                for k, v in self.chain.ons.items()}
 
     # ---- manual notches (wdsp/nbp.c notch-bank bandpass) ----------------
     def add_notch(self, freq_hz: float, width_hz: float = 100.0) -> None:

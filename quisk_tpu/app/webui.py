@@ -87,6 +87,7 @@ _PAGE = """<!DOCTYPE html>
  <button onclick="send({cmd:'mem_save'})">MemSave</button>
  <button onclick="send({cmd:'mem_next'})">MemNext</button>
  <button onclick="send({cmd:'mem_delete'})">MemDel</button>
+ <span id="dspstages"></span>
  <span style="color:#888">(click spectrum to pan when zoomed)</span>
 </div>
 <canvas id="spec" width="1024" height="220"></canvas>
@@ -157,6 +158,18 @@ ws.onmessage=(ev)=>{
   document.getElementById('split').className=state.split?'on':'';
   document.getElementById('rit').className=state.rit_on?'on':'';
   document.getElementById('txfreq').value=state.tx_freq;
+  // DSP stage buttons (NB/Notch/NR2/AGC/Sqlch): rendered from the
+  // chain's actual optional stages, toggled live as data
+  const sd=document.getElementById('dspstages');
+  const SN={nb:'NB',notch:'Notch',nr:'NR2',anf:'ANF',agc:'AGC',
+            squelch:'Sqlch',fm_sq:'FMsq'};
+  for(const k in (state.stages||{})){
+   let b=document.getElementById('st_'+k);
+   if(!b){b=document.createElement('button');b.id='st_'+k;
+    b.textContent=SN[k]||k;
+    b.onclick=()=>send({cmd:'stage',name:k,on:!state.stages[k]});
+    sd.appendChild(b);}
+   b.className=state.stages[k]?'on':'';}
   renderSubrx();
   return;}
  const dv=new DataView(ev.data);
@@ -410,6 +423,11 @@ class WebUIServer:
                 "stations": (self.control.station_markers()
                              if hasattr(self.control, "station_markers")
                              else []),
+                # runtime DSP stage toggles (NB/Notch/NR2/AGC/Sqlch
+                # buttons): {stage: bool} for stages built into the chain
+                "stages": (self.control.stage_states()
+                           if hasattr(self.control, "stage_states")
+                           else {}),
                 # the widget-model tree (quisk_widgets.py equivalents);
                 # frontends may render these instead of bespoke controls
                 "widgets": self._widget_json()}
@@ -516,6 +534,13 @@ class WebUIServer:
             self.control.delete_memory()
         elif cmd == "mem_recall" and hasattr(self.control, "recall_memory"):
             self.control.recall_memory(float(msg["value"]))
+        elif cmd == "stage" and hasattr(self.control, "set_stage"):
+            try:
+                self.control.set_stage(str(msg["name"]), bool(msg["on"]))
+            except KeyError:
+                return
+        elif cmd == "nb_level" and hasattr(self.control, "set_nb_level"):
+            self.control.set_nb_level(int(msg["value"]))
         elif cmd == "widget":
             p = self.widget_panel()
             if p is None:

@@ -498,6 +498,19 @@ def standard_panel(radio) -> WidgetPanel:
                       lambda w: radio.set_split(w.index > 0,
                                                 play=max(1, w.index))))
     p.add(CheckButton("PTT", lambda w: radio.set_ptt(w.down)))
+    # DSP stage buttons for whatever optional stages the chain was built
+    # with (quisk.py:4917-4960 main-screen row) — toggled live as data
+    ons = getattr(getattr(radio, "chain", None), "ons", {})
+    if "nb" in ons:
+        p.add(CycleButton("NB", ["NB", "NB 1", "NB 2", "NB 3"],
+                          lambda w: radio.set_nb_level(w.index)))
+    for key, lab in (("notch", "Notch"), ("nr", "NR2"), ("anf", "ANF"),
+                     ("agc", "AGC"), ("squelch", "Sqlch"),
+                     ("fm_sq", "FMsq")):
+        if key in ons:
+            p.add(CheckButton(
+                lab, (lambda k: lambda w: radio.set_stage(k, w.down))(key),
+                down=radio.chain.stage_on(key)))
     p.add(PushButton("MemSave", lambda w: radio.save_memory()))
     p.add(PushButton("MemNext", lambda w: radio.next_memory()))
     p.add(PushButton("MemDel", lambda w: radio.delete_memory()))

@@ -120,6 +120,11 @@ class RxChain:
     anf: "object"                         # BlockLMS | None, on audio
     squelch: SSBSquelch | None            # last: mutes audio
     fm_sq: FMSquelch | None               # RF-measured squelch
+    # per-stage runtime enables (the reference's NB/Notch/NR2/AGC/Sqlch
+    # buttons, quisk.py:4917-4960): [C, 1] f32 blend weights, 1 = stage
+    # output, 0 = exact pass-through — toggling is DATA, the compiled
+    # program never changes (keys exist only for stages that were built)
+    ons: dict
     tune_base: jnp.ndarray                # [C] dial frequency (pre-RIT), data
     # static metadata
     channels: int = struct.field(pytree_node=False)
@@ -246,10 +251,15 @@ class RxChain:
         fm_sq = (FMSquelch.create(plan.fs_out, B_audio,
                                   config.fm_squelch_db)
                  if config.fm_squelch else None)
+        ons = {name: jnp.ones((C, 1), jnp.float32)
+               for name, op in (("nb", nb), ("notch", notch), ("nr", nr),
+                                ("anf", anf), ("agc", agc),
+                                ("squelch", squelch), ("fm_sq", fm_sq))
+               if op is not None}
         return cls(nco=nco, cond=cond, front=front, stages=tuple(stages),
                    bp=bp,
                    frac=frac, demod=demod, agc=agc, nb=nb, notch=notch,
-                   nr=nr, anf=anf, squelch=squelch, fm_sq=fm_sq,
+                   nr=nr, anf=anf, squelch=squelch, fm_sq=fm_sq, ons=ons,
                    tune_base=jnp.asarray(base, jnp.float32), channels=C,
                    block_in=B_in, block_audio=B_audio, fs_audio=plan.fs_out)
 
@@ -324,6 +334,38 @@ class RxChain:
         return new
 
     # ---------------------------------------------------------------- state
+    # ------------------------------------------------- runtime stage toggles
+    def set_stage(self, name: str, on, channel: int | None = None
+                  ) -> "RxChain":
+        """Turn an optional stage on/off at runtime — pure data, the
+        compiled program is reused (the reference's NB/Notch/NR2/AGC/
+        Sqlch buttons toggle the same flags live, quisk.py:4917-4960).
+        ``name`` in {'nb','notch','nr','anf','agc','squelch','fm_sq'};
+        per-channel with ``channel``, all channels otherwise.  Off is an
+        exact pass-through: output matches a chain built without the
+        stage."""
+        if name not in self.ons:
+            raise KeyError(f"stage {name!r} not built into this chain "
+                           f"(have {sorted(self.ons)})")
+        if channel is None:
+            arr = jnp.full((self.channels, 1), 1.0 if on else 0.0,
+                           jnp.float32)
+        else:
+            arr = self.ons[name].at[channel, 0].set(1.0 if on else 0.0)
+        return self.replace(ons={**self.ons, name: arr})
+
+    def stage_on(self, name: str) -> bool:
+        """True if the stage exists and channel 0 has it enabled."""
+        return name in self.ons and bool(np.asarray(self.ons[name])[0, 0])
+
+    def set_nb_level(self, level: int) -> "RxChain":
+        """Noise-blanker threshold level 1/2/3 (the reference's NB cycle
+        button, quisk.c:716-727 limits 6.0/4.0/2.5) — data only."""
+        if self.nb is None:
+            raise KeyError("chain built without a noise blanker")
+        limit = {1: 6.0, 2: 4.0, 3: 2.5}[int(level)]
+        return self.replace(nb=self.nb.replace(limit=jnp.float32(limit)))
+
     def init_state(self):
         C = self.channels
 
@@ -359,10 +401,19 @@ class RxChain:
         DC mode (sound.c:221-229).
         """
         st = dict(state)
+
+        def blend(name, wet, dry):
+            # runtime stage enable as DATA: 1 -> stage output, 0 -> exact
+            # pass-through (identical to a chain built without the stage,
+            # since downstream sees the untouched signal)
+            g = self.ons[name]
+            return wet * g + dry * (1.0 - g)
+
         if self.cond is not None:
             st["cond"], x = self.cond(st["cond"], x, key_down=key_down)
         if self.nb is not None:
-            st["nb"], x = self.nb(st["nb"], x)
+            st["nb"], xb = self.nb(st["nb"], x)
+            x = blend("nb", xb, x)
         if self.front is not None:
             st["front"], y = self.front(st["front"], x)
         else:
@@ -380,17 +431,23 @@ class RxChain:
         y_filtered = y                          # audio-rate filtered IQ
         st["demod"], audio = self.demod(st["demod"], y)
         if self.notch is not None:
-            st["notch"], audio = self.notch(st["notch"], audio)
+            st["notch"], a2 = self.notch(st["notch"], audio)
+            audio = blend("notch", a2, audio)
         if self.anf is not None:
-            st["anf"], audio = self.anf(st["anf"], audio)
+            st["anf"], a2 = self.anf(st["anf"], audio)
+            audio = blend("anf", a2, audio)
         if self.nr is not None:
-            st["nr"], audio = self.nr(st["nr"], audio)
+            st["nr"], a2 = self.nr(st["nr"], audio)
+            audio = blend("nr", a2, audio)
         if self.agc is not None:
-            st["agc"], audio = self.agc(st["agc"], audio)
+            st["agc"], a2 = self.agc(st["agc"], audio)
+            audio = blend("agc", a2, audio)
         if self.squelch is not None:
-            st["squelch"], audio = self.squelch(st["squelch"], audio)
+            st["squelch"], a2 = self.squelch(st["squelch"], audio)
+            audio = blend("squelch", a2, audio)
         if self.fm_sq is not None:
-            st["fm_sq"], audio = self.fm_sq(st["fm_sq"], audio, rf_db)
+            st["fm_sq"], a2 = self.fm_sq(st["fm_sq"], audio, rf_db)
+            audio = blend("fm_sq", a2, audio)
         if self.demod.iq_out:
             # DGT-IQ pass-through (quisk.c:2141-2153): those channels emit
             # the raw channel-filtered IQ for external digital programs;
