@@ -42,6 +42,8 @@ class RadioConfig:
     auto_notch: bool = False
     nr: bool = False                  # spectral noise reduction (NR2)
     anf: bool = False                 # LMS auto-notch filter
+    fm_squelch: bool = False          # RF-level squelch (quisk.c:2076)
+    fm_squelch_db: float = -60.0
     fm_deviation_hz: float = 2500.0
     cw_pitch: float = 600.0
     filter_taps: int = 1025
@@ -77,6 +79,7 @@ class RadioConfig:
             noise_blanker=self.noise_blanker, auto_notch=self.auto_notch,
             nr=self.nr, anf=self.anf, squelch=self.squelch,
             squelch_threshold=self.squelch_threshold,
+            fm_squelch=self.fm_squelch, fm_squelch_db=self.fm_squelch_db,
             front_cond=(self.front_cond or self.invert_spectrum),
             dc_remove_bw=self.dc_remove_bw)
 

@@ -548,6 +548,53 @@ class Radio:
         return {k: bool(np.asarray(v)[0, 0])
                 for k, v in self.chain.ons.items()}
 
+    def set_squelch_level(self, value: float) -> None:
+        """The Sqlch slider (quisk.py sliderSquelch): SSB squelch opening
+        threshold (spectral-flatness nats) and/or FM squelch RF threshold
+        (value interpreted as dB when the chain has the FM squelch) —
+        pure data."""
+        import jax.numpy as jnp
+        ch = self.chain
+        if ch.squelch is not None:
+            ch = ch.replace(squelch=ch.squelch.replace(
+                threshold=jnp.float32(value)))
+        if ch.fm_sq is not None:
+            ch = ch.replace(fm_sq=ch.fm_sq.replace(
+                threshold_db=jnp.float32(value)))
+        if ch is self.chain:
+            raise KeyError("chain built without a squelch")
+        self.chain = ch
+        self._dirty = True
+
+    def set_agc_level(self, max_gain_db: float | None = None,
+                      target: float | None = None) -> None:
+        """The AGC dual-slider (quisk.py BtnAGC + agcMaxGain/agcOffGain):
+        maximum AGC gain in dB and/or the output target level — data."""
+        import jax.numpy as jnp
+        if self.chain.agc is None:
+            raise KeyError("chain built without AGC")
+        agc = self.chain.agc
+        if max_gain_db is not None:
+            agc = agc.replace(max_lgain=jnp.float32(
+                float(max_gain_db) * np.log(10.0) / 20.0))
+        if target is not None:
+            agc = agc.replace(target=jnp.float32(target))
+        self.chain = self.chain.replace(agc=agc)
+        self._dirty = True
+
+    def set_fdx(self, on: bool) -> None:
+        """The FDX button (quisk.py:5021): full duplex — keep RX audio
+        live while transmitting (no sidetone/silence substitution)."""
+        if getattr(self, "tx", None) is None:
+            raise ValueError("no TX chain (call enable_tx first)")
+        self.tx_monitor = bool(on)
+
+    def set_sidetone(self, level: float) -> None:
+        """CW sidetone volume 0..1 (quisk.py sidetone slider)."""
+        if getattr(self, "sidetone", None) is None:
+            raise ValueError("no TX chain (call enable_tx first)")
+        self.sidetone.level = float(np.clip(level, 0.0, 1.0))
+
     # ---- manual notches (wdsp/nbp.c notch-bank bandpass) ----------------
     def add_notch(self, freq_hz: float, width_hz: float = 100.0) -> None:
         """Add a persistent manual notch at an absolute RF frequency; it

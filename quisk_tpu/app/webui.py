@@ -541,6 +541,23 @@ class WebUIServer:
                 return
         elif cmd == "nb_level" and hasattr(self.control, "set_nb_level"):
             self.control.set_nb_level(int(msg["value"]))
+        elif cmd == "squelch_level" and hasattr(self.control,
+                                                "set_squelch_level"):
+            try:
+                self.control.set_squelch_level(float(msg["value"]))
+            except KeyError:
+                return
+        elif cmd == "agc_level" and hasattr(self.control, "set_agc_level"):
+            try:
+                self.control.set_agc_level(
+                    max_gain_db=msg.get("max_gain_db"),
+                    target=msg.get("target"))
+            except KeyError:
+                return
+        elif cmd == "fdx" and hasattr(self.control, "set_fdx"):
+            self.control.set_fdx(bool(msg["value"]))
+        elif cmd == "sidetone" and hasattr(self.control, "set_sidetone"):
+            self.control.set_sidetone(float(msg["value"]))
         elif cmd == "widget":
             p = self.widget_panel()
             if p is None:

@@ -123,3 +123,38 @@ def test_radio_stage_buttons_and_webui():
     # widget panel grew the stage buttons
     names = [w["name"] for w in st["widgets"]]
     assert "NR2" in names and "Notch" in names and "AGC" in names
+
+
+def test_level_sliders_are_data():
+    from quisk_tpu.app.config import RadioConfig
+    from quisk_tpu.app.radio import Radio
+    from quisk_tpu.hw.base import Hardware
+
+    class HW(Hardware):
+        def read_samples(self, n):
+            return np.zeros((1, n), np.complex64)
+
+    r = Radio(RadioConfig(sample_rate=FS, tune_hz=7000.0, agc=True,
+                          squelch=True, squelch_threshold=1.2),
+              hardware=HW())
+    r.set_squelch_level(2.5)
+    assert float(r.chain.squelch.threshold) == 2.5
+    r.set_agc_level(max_gain_db=40.0, target=0.5)
+    assert abs(float(r.chain.agc.max_lgain)
+               - 40.0 * np.log(10.0) / 20.0) < 1e-6
+    assert float(r.chain.agc.target) == 0.5
+    r.enable_tx()
+    r.set_fdx(True)
+    assert r.tx_monitor
+    r.set_sidetone(0.7)
+    assert r.sidetone.level == 0.7
+    # fm-squelch-only chain routes the same slider to threshold_db
+    r2 = Radio(RadioConfig(sample_rate=FS, tune_hz=7000.0, agc=False,
+                           fm_squelch=True, mode="FM"), hardware=HW())
+    r2.set_squelch_level(-50.0)
+    assert float(r2.chain.fm_sq.threshold_db) == -50.0
+    import pytest as _p
+    r3 = Radio(RadioConfig(sample_rate=FS, tune_hz=7000.0, agc=False),
+               hardware=HW())
+    with _p.raises(KeyError):
+        r3.set_squelch_level(1.0)
