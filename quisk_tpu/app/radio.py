@@ -741,6 +741,20 @@ class Radio:
         the keyup envelope restores RX click-free (quisk.c:2711-2738)."""
         if getattr(self, "serial_key", None) is not None:
             self.serial_key.poll()           # sound.c:898 polls every loop
+        # hardware housekeeping like the reference's loop (quisk.py:4466
+        # HeartBeat ~10 Hz; 5570-5585 ReturnFrequency hardware-initiated
+        # tuning, e.g. a front-panel knob)
+        self._hb_count = getattr(self, "_hb_count", 0) + 1
+        hb_every = max(1, int(round(
+            self.cfg.sample_rate / self.chain.block_in / 10.0)))
+        if self._hb_count % hb_every == 0:
+            self.hw.HeartBeat()
+        tune, vfo = self.hw.ReturnFrequency()
+        if tune is not None or vfo is not None:
+            if vfo is not None and vfo != self.vfo_hz:
+                self.vfo_hz = float(vfo)
+            self.set_frequency(float(tune if tune is not None
+                                     else self.freq_hz))
         keyed, cw_key, mic = self._poll_tx_keys()
         x = self.hw.read_samples(self.chain.block_in)
         if x is None:

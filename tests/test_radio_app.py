@@ -148,3 +148,41 @@ def test_volume_and_mute(tmp_path):
     r2 = Radio(RadioConfig(sample_rate=48000.0), hardware="sim",
                settings=Settings(tmp_path / "s.json"), rigctl_port=None)
     assert r2.volume == 0.25
+
+
+def test_hardware_heartbeat_and_return_frequency():
+    """The loop polls Hardware.HeartBeat (~10 Hz, quisk.py:4466) and
+    follows hardware-initiated tuning via ReturnFrequency
+    (quisk.py:5570-5585, e.g. a front-panel knob)."""
+    import numpy as np
+    from quisk_tpu.app.config import RadioConfig
+    from quisk_tpu.app.radio import Radio
+    from quisk_tpu.hw.base import Hardware
+
+    class KnobHW(Hardware):
+        def __init__(self):
+            super().__init__()
+            self.beats = 0
+            self.knob = None
+
+        def read_samples(self, n):
+            return np.zeros((1, n), np.complex64)
+
+        def HeartBeat(self):
+            self.beats += 1
+
+        def ReturnFrequency(self):
+            k, self.knob = self.knob, None
+            return (k, None) if k is not None else (None, None)
+
+    hw = KnobHW()
+    r = Radio(RadioConfig(sample_rate=48000.0, tune_hz=7000.0, agc=False),
+              hardware=hw)
+    for _ in range(30):
+        r.run_once()
+    # ~10 Hz at 48k/2048-sample blocks = every ~2 blocks
+    assert hw.beats >= 10
+    hw.knob = 9000
+    r.run_once()
+    assert r.freq_hz == 9000.0
+    assert hw.tx_frequency == 9000          # echoed back as the dial
