@@ -124,9 +124,20 @@ function toggleSpot(){
 function zoomBy(k){
  const z=Math.max(1,Math.min(1024,(state.zoom||1)*k));
  send({cmd:'zoom',value:z,center:state.zoom_center});}
-spec.onclick=(ev)=>{          // pan: click sets the zoom window center
- if((state.zoom||1)<=1)return;
+spec.onclick=(ev)=>{
  const fx=f0+df*(ev.offsetX*1024/spec.clientWidth);
+ // top strip = station markers row: click tunes to the nearest station
+ // (StationScreen OnLeftDown, quisk.py:2696)
+ if(ev.offsetY*spec.height/spec.clientHeight<12&&state.stations&&
+    state.stations.length){
+  let best=null,bd=1e18;
+  for(const st of state.stations){const d=Math.abs(st.freq-fx);
+   if(d<bd){bd=d;best=st;}}
+  if(best&&bd<Math.abs(df)*40){
+   if(best.mode&&MODES.includes(best.mode.toUpperCase()))
+    send({cmd:'mode',value:best.mode.toUpperCase()});
+   send({cmd:'freq',value:best.freq});return;}}
+ if((state.zoom||1)<=1)return;  // else pan: set the zoom window center
  send({cmd:'zoom',value:state.zoom,center:fx});};
 function renderSubrx(){
  const div=document.getElementById('subrx');
