@@ -64,6 +64,9 @@ class Radio:
         C = cfg.channels
         self.offsets = np.full(C, offset, np.float64)
         self.channel_modes = [cfg.mode] * C
+        # per-channel filter bandwidth; None = the mode's default width
+        # (the reference's filter-button row, quisk.py:5095 + MakeFilterCoef)
+        self.bandwidths: list = [cfg.bandwidth_hz] * C
         self.routes = ["both"] + ["off"] * (C - 1)
         self._digital_out: dict[int, np.ndarray] = {}
         # hardware plugins may demand spectrum inversion (e.g. the
@@ -96,7 +99,10 @@ class Radio:
             self.volume = float(settings.get_state().get("volume", 1.0))
         self.chain = RxChain.create(self.rx_cfg, tune_hz=self.offsets,
                                     mode=[int(Mode[m])
-                                          for m in self.channel_modes])
+                                          for m in self.channel_modes],
+                                    bandwidth_hz=(
+                                        [float(cfg.bandwidth_hz)] * C
+                                        if cfg.bandwidth_hz else None))
         if self.chain.cond is not None:
             saved = (settings.get_state().get("ampl_phase")
                      if settings is not None else None) or self.ampl_phase
@@ -421,6 +427,15 @@ class Radio:
     def _retune(self) -> None:
         modes = [int(Mode[m]) for m in self.channel_modes]
         want_iq = any(m == "DGT_IQ" for m in self.channel_modes)
+        # per-channel filter widths: explicit where set, the mode default
+        # elsewhere (mode_band(bw=None) uses the same table)
+        if any(b is not None for b in self.bandwidths):
+            from quisk_tpu.modes import DEFAULT_BANDWIDTH
+            bws = [float(b) if b is not None
+                   else float(DEFAULT_BANDWIDTH[Mode[m]])
+                   for b, m in zip(self.bandwidths, self.channel_modes)]
+        else:
+            bws = None
         # RIT shifts the DEMOD tune only — not the dial, the hardware, or
         # TX (quisk.py:5781 QS.set_tune(rxFreq + ritFreq, txFreq)); the
         # split monitor bank gets it too (quisk.c:2538 tx_tune + rit)
@@ -449,7 +464,7 @@ class Radio:
             # one retune that does recompile
             old_ons = self.chain.ons
             self.chain = RxChain.create(self.rx_cfg, tune_hz=offsets,
-                                        mode=modes)
+                                        mode=modes, bandwidth_hz=bws)
             # carry the runtime stage toggles across the rebuild
             self.chain = self.chain.replace(
                 ons={k: old_ons.get(k, v)
@@ -458,10 +473,12 @@ class Radio:
             self._apply_trim()
             if notches is not None:
                 self.chain = self.chain.retune(self.rx_cfg, mode=modes,
+                                               bandwidth_hz=bws,
                                                notches_hz=notches)
         else:
             self.chain = self.chain.retune(self.rx_cfg, tune_hz=offsets,
-                                           mode=modes, notches_hz=notches)
+                                           mode=modes, bandwidth_hz=bws,
+                                           notches_hz=notches)
         self._dirty = True
 
     def filter_response(self, channel: int = 0, points: int = 2048) -> dict:
@@ -547,6 +564,16 @@ class Radio:
         """{stage: on} for every optional stage built into the chain."""
         return {k: bool(np.asarray(v)[0, 0])
                 for k, v in self.chain.ons.items()}
+
+    def set_bandwidth(self, bw_hz: float | None, channel: int = 0) -> None:
+        """The filter-button row (quisk.py:5095 + MakeFilterCoef 5405):
+        set the channel filter width live; None restores the mode's
+        default.  Pure data — masks swap, nothing recompiles."""
+        self.bandwidths[channel] = (None if bw_hz is None
+                                    else float(bw_hz))
+        if channel == 0:
+            self.cfg.bandwidth_hz = self.bandwidths[0]
+        self._retune()
 
     def set_squelch_level(self, value: float) -> None:
         """The Sqlch slider (quisk.py sliderSquelch): SSB squelch opening

@@ -565,6 +565,10 @@ class WebUIServer:
                     target=msg.get("target"))
             except KeyError:
                 return
+        elif cmd == "bandwidth" and hasattr(self.control, "set_bandwidth"):
+            self.control.set_bandwidth(
+                None if msg.get("value") is None else float(msg["value"]),
+                channel=int(msg.get("channel", 0)))
         elif cmd == "fdx" and hasattr(self.control, "set_fdx"):
             self.control.set_fdx(bool(msg["value"]))
         elif cmd == "sidetone" and hasattr(self.control, "set_sidetone"):

@@ -158,3 +158,39 @@ def test_level_sliders_are_data():
                hardware=HW())
     with _p.raises(KeyError):
         r3.set_squelch_level(1.0)
+
+
+def test_set_bandwidth_narrows_filter_live():
+    """The filter-button row (quisk.py:5095): live per-channel width
+    change, data-only; a 2.2 kHz audio tone inside the default USB
+    passband disappears when the width narrows to 1.5 kHz."""
+    from quisk_tpu.app.config import RadioConfig
+    from quisk_tpu.app.radio import Radio
+    from quisk_tpu.hw.base import Hardware
+    from quisk_tpu.io import sources
+
+    class HW(Hardware):
+        def __init__(self):
+            super().__init__()
+            self.t = 0
+
+        def read_samples(self, n):
+            iq = 0.3 * np.exp(2j * np.pi * 9200.0
+                              * (np.arange(n) + self.t) / FS)
+            self.t += n
+            return iq[None].astype(np.complex64)
+
+    r = Radio(RadioConfig(sample_rate=FS, tune_hz=7000.0, agc=False),
+              hardware=HW())
+
+    def tone_rms(blocks=6):
+        a = np.concatenate([np.asarray(r.run_once())[0]
+                            for _ in range(blocks)])
+        return float(np.sqrt(np.mean(a[-4096:] ** 2)))
+
+    wide = tone_rms()                       # 2.2 kHz audio in 2.8k default
+    r.set_bandwidth(1500.0)                 # passband now 300..1800
+    narrow = tone_rms()
+    assert wide > 0.05 and narrow < wide * 0.02, (wide, narrow)
+    r.set_bandwidth(None)                   # restore the mode default
+    assert tone_rms() > 0.05
