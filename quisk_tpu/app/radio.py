@@ -622,6 +622,36 @@ class Radio:
             raise ValueError("no TX chain (call enable_tx first)")
         self.sidetone.level = float(np.clip(level, 0.0, 1.0))
 
+    # ---- CQ voice keyer (quisk.py:5917-5933 OnBtnFilePlay source 12:
+    # play the CQ message file with PTT, repeat every N seconds) ----------
+    def play_cq(self, wav_path: str, repeat_secs: float = 0.0) -> None:
+        """Transmit a recorded CQ message: the WAV becomes the mic and
+        PTT keys for its duration; with ``repeat_secs`` the message
+        repeats after that many seconds of listening (file_play_state 2,
+        quisk.py:4020-4021).  Stop with :meth:`stop_cq`."""
+        if getattr(self, "tx", None) is None:
+            raise ValueError("no TX chain (call enable_tx first)")
+        from quisk_tpu.io import wav as wavio
+        audio, rate = wavio.read_audio_wav(wav_path)
+        if rate != self.cfg.audio_rate:
+            from quisk_tpu.io.ratematch import VarRateResampler
+            rs = VarRateResampler(ratio=rate / self.cfg.audio_rate)
+            audio = rs.process(np.asarray(audio, np.float64))
+        self._cq = {"audio": np.asarray(audio, np.float32), "pos": 0,
+                    "wait": 0,
+                    "repeat_samples": int(repeat_secs
+                                          * self.cfg.audio_rate)}
+
+    def stop_cq(self) -> None:
+        """The file-play button released (TurnOffFilePlay)."""
+        self._cq = None
+
+    def add_tone(self, freq_hz: float = 0.0, level: float = 0.1) -> None:
+        """The Test 1 button (quisk.py:5939 QS.add_tone): inject a test
+        carrier into the RX capture before the chain; 0 turns it off."""
+        self._test_tone = (float(freq_hz), float(level)) if freq_hz else None
+        self._test_tone_t = 0
+
     # ---- manual notches (wdsp/nbp.c notch-bank bandpass) ----------------
     def add_notch(self, freq_hz: float, width_hz: float = 100.0) -> None:
         """Add a persistent manual notch at an absolute RF frequency; it
@@ -787,6 +817,16 @@ class Radio:
         if x is None:
             self.status.count("read_starved")
             return None
+        tt = getattr(self, "_test_tone", None)
+        if tt is not None:
+            # Test 1 button: inject a carrier into the capture
+            # (QS.add_tone, quisk.py:5939-5944)
+            f, lvl = tt
+            n = np.arange(x.shape[-1]) + self._test_tone_t
+            x = x + lvl * np.exp(
+                2j * np.pi * f * n / self.cfg.sample_rate
+            ).astype(np.complex64)
+            self._test_tone_t += x.shape[-1]
         if x.shape[0] == 1 and self.chain.channels > 1:
             # split model: all demod banks share one capture
             # (quisk.c:2537-2652 split/multirx on the same samples)
@@ -1117,6 +1157,26 @@ class Radio:
             # (tci.c:583 tci_get_mic feeding the mic section)
             ptt = True
             mic = np.real(self.tci.get_mic(self.tx.block)).astype(np.float32)
+        cq = getattr(self, "_cq", None)
+        if cq is not None:
+            # CQ voice keyer (quisk.py:5926 file_play_source 12: play the
+            # message file keyed, wait file_play_repeat seconds, repeat)
+            B = self.tx.block
+            if cq["wait"] > 0:           # between repeats: unkeyed
+                cq["wait"] -= B
+                if cq["wait"] <= 0:
+                    cq["pos"] = 0
+            else:
+                seg = cq["audio"][cq["pos"]:cq["pos"] + B]
+                cq["pos"] += B
+                if len(seg) < B:
+                    seg = np.pad(seg, (0, B - len(seg)))
+                    if cq["repeat_samples"] > 0:
+                        cq["wait"] = cq["repeat_samples"]
+                    else:
+                        self._cq = None  # one-shot: done
+                mic = seg.astype(np.float32)
+                ptt = True
         vox = self.vox.process(mic) and self.vox_enabled
         keyed = self.ptt.process(ptt=ptt, cw_key=cw_key, vox=vox)
         if keyed != self._keyed:

@@ -190,3 +190,83 @@ def test_vox_keys_the_loop():
     assert any(keyed[:4]), keyed                 # VOX keyed on the burst
     assert not any(keyed[-2:]), keyed            # released after hold
     radio.close()
+
+
+def test_cq_voice_keyer_repeats_and_stops(tmp_path):
+    """file_play_source 12 (quisk.py:5926): the CQ WAV becomes the mic
+    with PTT held, then the radio listens for repeat_secs and repeats."""
+    import numpy as np
+    from quisk_tpu.app.config import RadioConfig
+    from quisk_tpu.app.radio import Radio
+    from quisk_tpu.hw.base import Hardware
+    from quisk_tpu.io import wav as wavio
+
+    class HW(Hardware):
+        def __init__(self):
+            super().__init__()
+            self.tx_blocks = 0
+
+        def read_samples(self, n):
+            return np.zeros((1, n), np.complex64)
+
+        def write_samples(self, iq):
+            self.tx_blocks += 1
+
+    FS = 48000.0
+    hw = HW()
+    r = Radio(RadioConfig(sample_rate=FS, tune_hz=7000.0, agc=False),
+              hardware=hw)
+    r.open()
+    r.enable_tx()
+    B = r.tx.block
+    msg = (0.3 * np.sin(2 * np.pi * 800.0 * np.arange(2 * B) / FS)
+           ).astype(np.float32)
+    p = tmp_path / "cq.wav"
+    wavio.write_audio_wav(str(p), msg, FS)
+    # repeat after ~1 block of listening
+    r.play_cq(str(p), repeat_secs=B / FS)
+    states = []
+    for _ in range(8):
+        r.run_once()
+        states.append(r._keyed)
+    # keyed for 2 blocks, idle ~1, keyed again (repeat)
+    assert states[0] and states[1]
+    assert not all(states[2:4])          # a listening gap happened
+    assert any(states[3:])               # and the message repeated
+    assert hw.tx_blocks >= 3
+    r.stop_cq()
+    for _ in range(2):
+        r.run_once()
+    assert not r._keyed
+    # one-shot (no repeat) un-keys at the end by itself
+    r.play_cq(str(p))
+    for _ in range(4):
+        r.run_once()
+    assert not r._keyed and r._cq is None
+
+
+def test_add_tone_injects_test_carrier():
+    import numpy as np
+    from quisk_tpu.app.config import RadioConfig
+    from quisk_tpu.app.radio import Radio
+    from quisk_tpu.hw.base import Hardware
+
+    class HW(Hardware):
+        def read_samples(self, n):
+            return np.zeros((1, n), np.complex64)
+
+    FS = 48000.0
+    r = Radio(RadioConfig(sample_rate=FS, tune_hz=7000.0, agc=False),
+              hardware=HW())
+    silent = np.concatenate([np.asarray(r.run_once())[0]
+                             for _ in range(4)])
+    r.add_tone(8000.0)                  # 1 kHz above the USB carrier
+    loud = np.concatenate([np.asarray(r.run_once())[0] for _ in range(4)])
+    seg = loud[-4096:]
+    X = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+    f = np.fft.rfftfreq(len(seg), 1.0 / FS)
+    assert np.sqrt(np.mean(silent ** 2)) < 1e-6
+    assert abs(f[np.argmax(X)] - 1000.0) < 15.0
+    r.add_tone(0)
+    off = np.concatenate([np.asarray(r.run_once())[0] for _ in range(4)])
+    assert np.sqrt(np.mean(off[-4096:] ** 2)) < 1e-6
