@@ -277,7 +277,7 @@ def bench_stages(iters: int = 20) -> list[dict]:
 
 
 # ----------------------------------------------------------------- PFB
-def bench_pfb(iters: int = 20, K: int = 4096, mult: int = 4096) -> dict:
+def bench_pfb(iters: int = 20, K: int = 4096, mult: int = 8192) -> dict:
     """BASELINE config #5 engine: 4096-channel 2x-oversampled PFB
     channelizer + mixed demod + per-channel power spectrum, single chip."""
     from quisk_tpu.modes import Mode
@@ -291,9 +291,10 @@ def bench_pfb(iters: int = 20, K: int = 4096, mult: int = 4096) -> dict:
                               # regardless); after the accumulation
                               # formulation cut the polyphase pass to
                               # ~0.05 ms marginal, even K*1024 was ~80%
-                              # dispatch floor — K*4096 (16.8 M samples,
-                              # 134 MB in, ~17 ms of compute) amortizes
-                              # the ~16 ms tunnel floor to a minor term
+                              # dispatch floor — K*4096 (16.8 M samples)
+                              # still measured 30.2% floor on a contended
+                              # r3 window; K*8192 (33.5 M samples, 268 MB
+                              # in) halves the floor share again
     pfb = OversampledPFB.create(K, B, taps_per_branch=8)
     modes = [int(Mode.USB), int(Mode.LSB), int(Mode.AM), int(Mode.FM)]
     demod = MixedDemod.create([modes[i % 4] for i in range(K)],
