@@ -64,25 +64,94 @@ class NoiseBlanker:
     windows around each pulse, quisk.c:679/728-760) are sliding-window
     dot products — executed as banded-Toeplitz matmuls on the MXU
     (measured 3.3x the rfft/irfft widening convolution this replaced, and
-    4x an equivalent cumsum formulation, at 1024ch x 40960)."""
+    4x an equivalent cumsum formulation, at 1024ch x 40960).
+
+    At wideband rates the op is HBM-bound on full-rate intermediates
+    (avg/pulse/pw are each [C, B] f32 at the RAW rate), so ``pool`` > 1
+    moves the slow parts onto a P:1 coarse grid: the threshold compare
+    stays per-sample (fused into a grouped reduction, so no full-rate
+    intermediate is materialized), the box average and the ~1000-tap
+    raised-cosine widening run on group sums, and the blanking gain is
+    linearly upsampled.  The RC half-window is ~480 samples at 960 kHz,
+    so a 16-sample grid changes the envelope by <~3% — inaudible, and the
+    detection set is identical (group max crosses iff any sample does).
+    Narrow rates (K < ~100 taps) keep the exact per-sample path."""
 
     limit: jnp.ndarray
     avg_win: int = struct.field(pytree_node=False)
     kwidth: int = struct.field(pytree_node=False)
+    pool: int = struct.field(pytree_node=False, default=1)
 
     @classmethod
     def create(cls, sample_rate: float, level: int = 2,
                half_window_us: float = 500.0, avg_win: int = 64):
         limit = {1: 6.0, 2: 4.0, 3: 2.5}[level]   # reference quisk.c:716-727
-        K = 2 * max(1, int(half_window_us * 1e-6 * sample_rate)) + 1
-        return cls(limit=jnp.float32(limit), avg_win=avg_win, kwidth=K)
+        H = max(1, int(half_window_us * 1e-6 * sample_rate))
+        K = 2 * H + 1
+        # Coarse-grid factor: largest power of two that keeps >=24 coarse
+        # half-window taps (and divides avg_win).  48 kHz (H=24) -> 1
+        # (exact path); 960 kHz (H=480) -> 16.
+        P = 1
+        while P < 16 and (H // (2 * P)) >= 24 and avg_win % (2 * P) == 0:
+            P *= 2
+        return cls(limit=jnp.float32(limit), avg_win=avg_win, kwidth=K,
+                   pool=P)
 
     def init_state(self, channels: int):
         # host numpy: complex64 cannot cross the host<->device boundary
-        return np.zeros((channels, self.avg_win - 1), np.complex64)
+        w = self.avg_win if self.pool > 1 else self.avg_win - 1
+        return np.zeros((channels, w), np.complex64)
 
     def __call__(self, hist, x: jnp.ndarray):
+        if self.pool > 1 and x.shape[-1] % self.pool == 0:
+            return self._coarse(hist, x)
+        return self._exact(hist, x)
+
+    def _coarse(self, hist, x: jnp.ndarray):
+        C, B = x.shape
+        P = self.pool
+        W = self.avg_win // P                    # box window in groups
+        xs = jnp.concatenate([hist, x], axis=-1)   # [C, B + avg_win]
+        mag = jnp.abs(xs)
+        mg = mag.reshape(C, mag.shape[-1] // P, P)
+        # ONE full-rate pass: sibling sum/max reductions over the same
+        # operand fuse into a single HBM read; everything downstream runs
+        # on the P:1 coarse grid.  (A per-sample compare needs the sums
+        # first — a second full-rate pass — and measured no better.)
+        S = mg.sum(-1)                                      # group sums
+        X = mg.max(-1)                                      # group maxes
+        GB = B // P
+        # trailing moving average over avg_win raw samples, per x-group
+        acc = S[:, W:]
+        for k in range(1, W):
+            acc = acc + S[:, W - k: W - k + GB]
+        avgc = acc * (1.0 / self.avg_win)                   # [C, GB]
+        thr = self.limit * jnp.maximum(avgc, 1e-12)
+        # group max crosses iff any sample does -> identical detection
+        # set; the widening conv then sees one hit per group (the exact
+        # path's per-sample RC sum clips at gain 0 anyway)
+        pc = (X[:, W:] > thr).astype(jnp.float32)
+        HC = (self.kwidth // 2) // P
+        KC = 2 * HC + 1
+        rcc = (0.5 + 0.5 * np.cos(np.linspace(-np.pi, np.pi, KC))
+               ).astype(np.float32)
+        Rc = 1024
+        while GB % Rc:
+            Rc //= 2
+        pz = jnp.pad(pc, ((0, 0), (HC, HC)))
+        pwc = _patch_dot(pz, jnp.asarray(_band_matrix(rcc, Rc)), Rc)
+        gc = jnp.clip(1.0 - pwc, 0.0, 1.0)                  # [C, GB]
+        # linear upsample of the gain back to the raw grid
+        gpad = jnp.concatenate([gc, gc[:, -1:]], axis=-1)
+        w = (jnp.arange(P, dtype=jnp.float32) / P)[None, None, :]
+        g = (gc[..., None] * (1.0 - w) + gpad[:, 1:, None] * w
+             ).reshape(C, B)
+        new_hist = xs[:, -self.avg_win:]
+        return new_hist, x * g
+
+    def _exact(self, hist, x: jnp.ndarray):
         B = x.shape[-1]
+        hist = hist[:, hist.shape[-1] - (self.avg_win - 1):]
         # Patch redundancy is (R+K-1)/R, and the widening kernel K is ~1000
         # taps at wideband rates: R=128 materializes 8.5x the input in
         # patches (~1.4 GB/block at 1024ch) while R=1024 pays only 1.94x —

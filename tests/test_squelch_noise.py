@@ -93,3 +93,48 @@ def test_auto_notch_removes_tone_keeps_voice():
     keep = (np.abs(f - 1500.0) > 200) & (f > 300) & (f < 2700)
     ratio = np.mean(Py[keep] / (Pv[keep] + 1e-12))
     assert 0.7 < ratio < 1.3
+
+
+def test_noise_blanker_coarse_matches_exact_wideband(rng):
+    """At wideband rates the blanker runs detection/widening on a 16:1
+    coarse grid (HBM economics, ops/noise.py); pin that path against the
+    exact per-sample formulation: identical pulse kills (including across
+    a block join) and near-identical audio elsewhere."""
+    fs, blk = 960000.0, 40960
+    nb = NoiseBlanker.create(fs, level=2)
+    assert nb.pool == 16
+    exact = nb.replace(pool=1)
+
+    # bounded (uniform) noise: |x| can never cross limit*avg on its own,
+    # so the detection set is exactly the injected pulses on both paths
+    # (gaussian tails produce borderline false positives that flip either
+    # way between the per-sample and group-max compares — real but
+    # behaviorally irrelevant blanking of ~1 ms of noise)
+    x = (0.1 * (rng.uniform(-1, 1, (2, 2 * blk))
+                + 1j * rng.uniform(-1, 1, (2, 2 * blk)))).astype(np.complex64)
+    for pos in (5000, blk - 3, 70001):   # one straddles the block join
+        x[:, pos: pos + 6] += 25.0 * (1 + 1j)
+
+    def run(op):
+        st = op.init_state(2)
+        outs = []
+        for i in range(2):
+            st, y = op(st, x[:, i * blk:(i + 1) * blk])
+            outs.append(np.asarray(y))
+        return np.concatenate(outs, axis=-1)
+
+    yc, ye = run(nb), run(exact)
+    for pos in (5000, blk - 3, 70001):
+        assert np.abs(yc[:, pos: pos + 6]).max() < 1.0
+    # coarse and exact agree closely overall (differences live in the
+    # raised-cosine skirts, ~3% envelope error at 16-sample granularity)
+    assert dsp.snr_db(ye.ravel(), yc.ravel()) > 20
+    # away from the blanking skirts (and the stream warm-up, where the
+    # filling average makes the exact path blank the first ~avg_win
+    # samples) the two paths are identical: gain is exactly 1
+    mask = np.ones(2 * blk, bool)
+    half = nb.kwidth // 2
+    for pos in (5000, blk - 3, 70001):
+        mask[max(0, pos - 2 * half): pos + 6 + 2 * half] = False
+    mask[: 2 * half + nb.avg_win] = False
+    assert dsp.snr_db(ye[:, mask].ravel(), yc[:, mask].ravel()) > 60
