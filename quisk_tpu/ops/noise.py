@@ -107,7 +107,29 @@ class NoiseBlanker:
             return self._coarse(hist, x)
         return self._exact(hist, x)
 
+    def detect(self, hist, x: jnp.ndarray):
+        """Coarse-path detection WITHOUT applying: returns
+        ``(new_hist, gain [C, B/pool])`` — the blanking gain on the
+        pool:1 grid.  Used by the chain to fuse the gain application
+        into the Pallas front kernel (the apply pass re-reads and
+        re-writes the full-rate block otherwise).  Only valid when
+        ``pool > 1``."""
+        if self.pool == 1:
+            raise ValueError("detect() requires the coarse path (pool>1)")
+        return self._coarse_gain(hist, x)
+
     def _coarse(self, hist, x: jnp.ndarray):
+        new_hist, gc = self._coarse_gain(hist, x)
+        C, B = x.shape
+        P = self.pool
+        # linear upsample of the gain back to the raw grid
+        gpad = jnp.concatenate([gc, gc[:, -1:]], axis=-1)
+        w = (jnp.arange(P, dtype=jnp.float32) / P)[None, None, :]
+        g = (gc[..., None] * (1.0 - w) + gpad[:, 1:, None] * w
+             ).reshape(C, B)
+        return new_hist, x * g
+
+    def _coarse_gain(self, hist, x: jnp.ndarray):
         C, B = x.shape
         P = self.pool
         W = self.avg_win // P                    # box window in groups
@@ -141,13 +163,8 @@ class NoiseBlanker:
         pz = jnp.pad(pc, ((0, 0), (HC, HC)))
         pwc = _patch_dot(pz, jnp.asarray(_band_matrix(rcc, Rc)), Rc)
         gc = jnp.clip(1.0 - pwc, 0.0, 1.0)                  # [C, GB]
-        # linear upsample of the gain back to the raw grid
-        gpad = jnp.concatenate([gc, gc[:, -1:]], axis=-1)
-        w = (jnp.arange(P, dtype=jnp.float32) / P)[None, None, :]
-        g = (gc[..., None] * (1.0 - w) + gpad[:, 1:, None] * w
-             ).reshape(C, B)
         new_hist = xs[:, -self.avg_win:]
-        return new_hist, x * g
+        return new_hist, gc
 
     def _exact(self, hist, x: jnp.ndarray):
         B = x.shape[-1]

@@ -32,8 +32,13 @@ from jax.experimental.pallas import tpu as pltpu
 _TWO_PI_OVER_2_32 = np.float32(2.0 * np.pi / 4294967296.0)
 
 
-def _fused_kernel(word_ref, phase_ref, xr_hbm, xi_hbm, M_ref,
-                  yr_ref, yi_ref, xr_s, xi_s, sems, *, W, K, R, TN, s, TC):
+def _fused_kernel(word_ref, phase_ref, xr_hbm, xi_hbm, M_ref, *rest,
+                  W, K, R, TN, s, TC, gained=False):
+    if gained:
+        (gw_hbm, U_ref, yr_ref, yi_ref, xr_s, xi_s, g_s, sems) = rest
+    else:
+        (yr_ref, yi_ref, xr_s, xi_s, sems) = rest
+        gw_hbm = U_ref = g_s = None
     ci = pl.program_id(0)
     ti = pl.program_id(1)
     col = ti * (R * s * TN)
@@ -46,6 +51,13 @@ def _fused_kernel(word_ref, phase_ref, xr_hbm, xi_hbm, M_ref,
         xi_hbm.at[pl.ds(row, TC), pl.ds(col, Wp)], xi_s, sems.at[1])
     cp_r.start()
     cp_i.start()
+    if gained:
+        GWp = g_s.shape[-1]
+        cp_g = pltpu.make_async_copy(
+            gw_hbm.at[pl.ds(row, TC), pl.ds(ti * GWp, GWp)], g_s,
+            sems.at[2])
+        cp_g.start()
+        cp_g.wait()
     cp_r.wait()
     cp_i.wait()
 
@@ -71,6 +83,17 @@ def _fused_kernel(word_ref, phase_ref, xr_hbm, xi_hbm, M_ref,
         sn = jnp.sin(ang)
         a = xr_s[:, c0:c0 + ch]
         b = xi_s[:, c0:c0 + ch]
+        if gained:
+            # noise-blanker gain on the 16:1 coarse grid, upsampled by a
+            # constant 2-diagonal linear-interp matrix on the MXU; rows
+            # beyond the tail chunk's group span are zero in U, so the
+            # fixed-width 66-group slice is safe
+            gsl = g_s[:, (c0 // 16):(c0 // 16) + 66]
+            g = jnp.dot(gsl, U_ref[:, :ch],
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+            a = a * g
+            b = b * g
         # mix down: x * conj(e^{j ang})
         xr_s[:, c0:c0 + ch] = a * c + b * sn
         xi_s[:, c0:c0 + ch] = b * c - a * sn
@@ -102,8 +125,8 @@ def _fused_kernel(word_ref, phase_ref, xr_hbm, xi_hbm, M_ref,
 @functools.partial(jax.jit,
                    static_argnames=("W", "K", "R", "TN", "s", "TC",
                                     "interpret"))
-def _fused_call(word2d, phase2d, xr, xi, M, *, W, K, R, TN, s, TC,
-                interpret=False):
+def _fused_call(word2d, phase2d, xr, xi, M, gwin=None, U=None, *,
+                W, K, R, TN, s, TC, interpret=False):
     C, L = xr.shape
     N = (L - (K - R * s)) // s            # outputs: (L - (T-1)) / s
     grid = (C // TC, N // (R * TN))
@@ -114,20 +137,38 @@ def _fused_call(word2d, phase2d, xr, xi, M, *, W, K, R, TN, s, TC,
     if pad > 0:
         xr = jnp.pad(xr, ((0, 0), (0, pad)))
         xi = jnp.pad(xi, ((0, 0), (0, pad)))
-    kern = functools.partial(_fused_kernel, W=W, K=K, R=R, TN=TN, s=s, TC=TC)
+    gained = gwin is not None
+    kern = functools.partial(_fused_kernel, W=W, K=K, R=R, TN=TN, s=s,
+                             TC=TC, gained=gained)
+    in_specs = [
+        pl.BlockSpec((TC, 1), lambda ci, ti: (ci, 0),
+                     memory_space=pltpu.VMEM),      # word
+        pl.BlockSpec((TC, 1), lambda ci, ti: (ci, 0),
+                     memory_space=pltpu.VMEM),      # phase
+        pl.BlockSpec(memory_space=pltpu.ANY),        # xr (manual DMA)
+        pl.BlockSpec(memory_space=pltpu.ANY),        # xi
+        pl.BlockSpec((K, R), lambda ci, ti: (0, 0),
+                     memory_space=pltpu.VMEM),      # M
+    ]
+    scratch = [
+        pltpu.VMEM((TC, Wp), jnp.float32),
+        pltpu.VMEM((TC, Wp), jnp.float32),
+    ]
+    operands = [word2d, phase2d, xr, xi, M]
+    if gained:
+        GWp = gwin.shape[-1] // grid[1]
+        in_specs += [
+            pl.BlockSpec(memory_space=pltpu.ANY),    # gwin (manual DMA)
+            pl.BlockSpec((U.shape[0], U.shape[1]), lambda ci, ti: (0, 0),
+                         memory_space=pltpu.VMEM),   # interp matrix
+        ]
+        scratch.append(pltpu.VMEM((TC, GWp), jnp.float32))
+        operands += [gwin, U]
+    scratch.append(pltpu.SemaphoreType.DMA((3 if gained else 2,)))
     yr, yi = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((TC, 1), lambda ci, ti: (ci, 0),
-                         memory_space=pltpu.VMEM),      # word
-            pl.BlockSpec((TC, 1), lambda ci, ti: (ci, 0),
-                         memory_space=pltpu.VMEM),      # phase
-            pl.BlockSpec(memory_space=pltpu.ANY),        # xr (manual DMA)
-            pl.BlockSpec(memory_space=pltpu.ANY),        # xi
-            pl.BlockSpec((K, R), lambda ci, ti: (0, 0),
-                         memory_space=pltpu.VMEM),      # M
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((TC, R * TN), lambda ci, ti: (ci, ti),
                          memory_space=pltpu.VMEM),
@@ -138,13 +179,9 @@ def _fused_call(word2d, phase2d, xr, xi, M, *, W, K, R, TN, s, TC,
             jax.ShapeDtypeStruct((C, N), jnp.float32),
             jax.ShapeDtypeStruct((C, N), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((TC, Wp), jnp.float32),
-            pltpu.VMEM((TC, Wp), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(word2d, phase2d, xr, xi, M)
+    )(*operands)
     return yr, yi
 
 
@@ -158,10 +195,17 @@ class FusedTuneDecimate:
     then filtering with streaming history (same dot order as MatmulFIR).
 
     Constraints: C % 128 == 0, (block/decim) % (128*TN) == 0.
+
+    With ``with_gain=True`` the kernel additionally accepts a noise-
+    blanker gain on the 16:1 coarse grid (``gain16`` in __call__,
+    covering ext = [hist | x]) and applies it to the raw window in VMEM
+    right before the NCO mix — the blanker's separate full-rate
+    apply pass (read x + write the blanked block) disappears.
     """
 
     M: jnp.ndarray                 # [K, R]
     word: jnp.ndarray              # [C] uint32
+    U: jnp.ndarray | None          # [66, 1024] coarse-gain interp matrix
     ntaps: int = struct.field(pytree_node=False)
     block: int = struct.field(pytree_node=False)
     decim: int = struct.field(pytree_node=False)
@@ -171,7 +215,8 @@ class FusedTuneDecimate:
 
     @classmethod
     def create(cls, taps, tune_hz, sample_rate: float, block: int,
-               decim: int, channels: int, TN: int = 8, TC: int = 128):
+               decim: int, channels: int, TN: int = 8, TC: int = 128,
+               with_gain: bool = False):
         from quisk_tpu.ops.nco import freq_word
         taps = np.asarray(taps, np.float64)
         T = taps.shape[-1]
@@ -184,9 +229,17 @@ class FusedTuneDecimate:
         # T ~ 1400, W ~ 4000 floats per channel row.
         K_dot = R * decim + T - 1
         temps = 6 * TC * 1024 * 4
+
+        def gain_vmem(tn):
+            if not with_gain:
+                return 0
+            wp = -(-(R * decim * tn + T - 1) // 128) * 128
+            gwp = -(-(wp // 16 + 66) // 128) * 128
+            return gwp * TC * 4 + 66 * 1024 * 4
         while TN > 1 and (N % (R * TN)
                           or ((R * decim * TN + T - 1) * TC * 8
-                              + K_dot * R * 4 + temps) > (14 << 20)):
+                              + K_dot * R * 4 + temps
+                              + gain_vmem(TN)) > (14 << 20)):
             TN //= 2
         if channels % TC or N % (R * TN):
             raise ValueError("needs C % 128 == 0 and (block/decim) % 128 == 0")
@@ -197,8 +250,30 @@ class FusedTuneDecimate:
             M[r * decim: r * decim + T, r] = h_rev
         w = freq_word(np.broadcast_to(np.atleast_1d(tune_hz), (channels,)),
                       sample_rate)
-        return cls(M=jnp.asarray(M), word=w, ntaps=T, block=block,
+        U = None
+        if with_gain:
+            # ext sample e sits at offset (e+off) % 16 of coarse group
+            # (e+off)//16, where off re-aligns the T-1 history samples
+            # onto the stream's 16-grid; linear interp between group g
+            # (valued at its first sample) and g+1
+            off = (-(T - 1)) % 16
+            Um = np.zeros((66, 1024), np.float32)
+            for j in range(1024):
+                gg, p = divmod(j + off, 16)
+                Um[gg, j] += 1.0 - p / 16.0
+                Um[gg + 1, j] += p / 16.0
+            U = jnp.asarray(Um)
+        return cls(M=jnp.asarray(M), word=w, U=U, ntaps=T, block=block,
                    decim=decim, R=R, TN=TN, TC=TC)
+
+    @property
+    def gain_off(self) -> int:
+        return (-(self.ntaps - 1)) % 16
+
+    @property
+    def gain_hist_groups(self) -> int:
+        """Coarse groups covering the T-1 raw history samples."""
+        return (self.ntaps - 1 + self.gain_off) // 16
 
     def init_state(self, channels: int):
         # phase is at ext[0] = the first history sample; a fresh stream has
@@ -209,7 +284,7 @@ class FusedTuneDecimate:
         return (jnp.asarray(ph0),
                 np.zeros((channels, self.ntaps - 1), np.complex64))
 
-    def __call__(self, state, x: jnp.ndarray):
+    def __call__(self, state, x: jnp.ndarray, gain16=None):
         phase0, hist = state
         ext = jnp.concatenate([hist, x], axis=-1)
         xr = jnp.real(ext).astype(jnp.float32)
@@ -218,8 +293,34 @@ class FusedTuneDecimate:
         W = self.R * self.decim * self.TN + self.ntaps - 1
         word_i32 = jax.lax.bitcast_convert_type(self.word, jnp.int32)
         phase_i32 = jax.lax.bitcast_convert_type(phase0, jnp.int32)
+        gwin = U = None
+        if gain16 is not None:
+            if self.U is None:
+                raise ValueError("create(with_gain=True) required for gain16")
+            C = x.shape[0]
+            GH = self.gain_hist_groups
+            GB = x.shape[-1] // 16
+            if gain16.shape[-1] != GH + GB:
+                raise ValueError(
+                    f"gain16 must cover ext: want {GH + GB} groups, "
+                    f"got {gain16.shape[-1]}")
+            # per-tile contiguous gain windows so the kernel's DMA starts
+            # stay 128-lane aligned (a static-index gather; cheap — the
+            # coarse grid is 1/16 of the raw block)
+            Wp = -(-W // 128) * 128
+            GWp = -(-(Wp // 16 + 66) // 128) * 128
+            n_t = (self.block // self.decim) // (self.R * self.TN)
+            starts = (np.arange(n_t) * (self.R * self.decim * self.TN)
+                      ) // 16
+            gp = jnp.pad(gain16, ((0, 0), (0, starts[-1] + GWp
+                                           - gain16.shape[-1])),
+                         mode="edge")
+            idx = starts[:, None] + np.arange(GWp)[None, :]
+            gwin = gp[:, idx].reshape(C, n_t * GWp)
+            U = self.U
         yr, yi = _fused_call(
             word_i32[:, None], phase_i32[:, None], xr, xi, self.M,
+            gwin, U,
             W=W, K=K, R=self.R, TN=self.TN, s=self.decim, TC=self.TC,
             interpret=jax.default_backend() != "tpu")
         new_hist = ext[:, ext.shape[-1] - (self.ntaps - 1):]

@@ -169,6 +169,11 @@ class RxChain:
         # kernel's TN=1 live set (two in-place-mixed scratch windows + the
         # [W, 128] tap matrix + NCO chunk temporaries) fits the 16 MB
         # scoped-VMEM stack — same model as FusedTuneDecimate's TN chooser.
+        nb = (NoiseBlanker.create(config.sample_rate, config.noise_blanker)
+              if config.noise_blanker else None)
+        # blanker gain fuses into the front kernel when it runs on the
+        # 16:1 coarse grid (wideband rates) — see FusedTuneDecimate
+        nb_gain = nb is not None and nb.pool == 16
         front = None
         fuse_k = 0
         if config.fused_frontend and C % 128 == 0:
@@ -181,16 +186,19 @@ class RxChain:
                     up[::d_tot] = taps
                     cand, cand_d = np.convolve(comb, up), d_tot * d
                 W = 128 * cand_d + len(cand) - 1
+                gain_vmem = ((-(-(W // 16 + 66) // 128) * 128) * 128 * 4
+                             + 66 * 1024 * 4) if nb_gain else 0
                 if ((B_in // cand_d) % 128
                         or (W * 128 * 8 + W * 128 * 4
-                            + 6 * 128 * 1024 * 4) > (14 << 20)):
+                            + 6 * 128 * 1024 * 4 + gain_vmem) > (14 << 20)):
                     break
                 comb, d_tot = cand, cand_d
                 fuse_k += 1
             if fuse_k:
                 from quisk_tpu.ops.pallas_kernels import FusedTuneDecimate
                 front = FusedTuneDecimate.create(
-                    comb, tune_eff, config.sample_rate, B_in, d_tot, C)
+                    comb, tune_eff, config.sample_rate, B_in, d_tot, C,
+                    with_gain=nb_gain)
 
         stages = []
         b = B_in if front is None else B_in // front.decim
@@ -229,8 +237,6 @@ class RxChain:
             agc = WcpAGC.create(plan.fs_out)
         else:
             agc = AGC.create(plan.fs_out)
-        nb = (NoiseBlanker.create(config.sample_rate, config.noise_blanker)
-              if config.noise_blanker else None)
         cond = None
         if config.front_cond or config.dc_remove_bw > 0:
             from quisk_tpu.rx.frontend import FrontConditioner
@@ -366,13 +372,26 @@ class RxChain:
         limit = {1: 6.0, 2: 4.0, 3: 2.5}[int(level)]
         return self.replace(nb=self.nb.replace(limit=jnp.float32(limit)))
 
+    @property
+    def _nb_fused(self) -> bool:
+        """True when the blanker gain is applied inside the front kernel."""
+        return (self.front is not None and self.nb is not None
+                and self.front.U is not None and self.nb.pool == 16)
+
     def init_state(self):
         C = self.channels
 
         def st(op):
             return op.init_state(C) if op is not None else ()
 
+        if self._nb_fused:
+            # coarse blanker-gain history covering the front's raw FIR
+            # history samples (gain 1 = nothing blanked before the stream)
+            nbg = np.ones((C, self.front.gain_hist_groups), np.float32)
+        else:
+            nbg = ()
         return {
+            "nbg": nbg,
             "nco": self.nco.init_state(C) if self.front is None else (),
             "cond": st(self.cond),
             "front": st(self.front),
@@ -411,13 +430,23 @@ class RxChain:
 
         if self.cond is not None:
             st["cond"], x = self.cond(st["cond"], x, key_down=key_down)
-        if self.nb is not None:
-            st["nb"], xb = self.nb(st["nb"], x)
-            x = blend("nb", xb, x)
-        if self.front is not None:
-            st["front"], y = self.front(st["front"], x)
+        if self.nb is not None and self._nb_fused:
+            # detection only; the blanking gain rides into the Pallas
+            # front kernel on the 16:1 coarse grid (no full-rate apply
+            # pass), with the stage toggle blended INTO the gain
+            st["nb"], gc = self.nb.detect(st["nb"], x)
+            gc = 1.0 + self.ons["nb"] * (gc - 1.0)
+            gext = jnp.concatenate([st["nbg"], gc], axis=-1)
+            st["nbg"] = gext[:, -self.front.gain_hist_groups:]
+            st["front"], y = self.front(st["front"], x, gain16=gext)
         else:
-            st["nco"], y = self.nco(st["nco"], x)
+            if self.nb is not None:
+                st["nb"], xb = self.nb(st["nb"], x)
+                x = blend("nb", xb, x)
+            if self.front is not None:
+                st["front"], y = self.front(st["front"], x)
+            else:
+                st["nco"], y = self.nco(st["nco"], x)
         new_stage_states = []
         for op, s in zip(self.stages, st["stages"]):
             s, y = op(s, y)

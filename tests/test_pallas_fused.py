@@ -69,3 +69,70 @@ def test_fused_chain_equals_unfused(fs, fused_decim):
         snr = 10 * np.log10(np.mean(ya ** 2)
                             / (np.mean((ya - yb) ** 2) + 1e-30))
         assert snr > 90.0, (i, snr)
+
+
+def test_fused_gain_matches_manual_apply():
+    """with_gain=True: the kernel applies a 16:1 coarse gain to the raw
+    window in VMEM before the mix; must equal scaling ext by the
+    linearly-upsampled gain outside (the blanker's standalone apply)."""
+    C, B = 128, 2048
+    taps = design.halfband(45)        # T=45 -> off=4, 3 history groups
+    tune = [(-FS / 4 + (i + 0.5) * FS / (2 * C)) for i in range(C)]
+    op = FusedTuneDecimate.create(taps, tune, FS, B, 2, C, TN=2,
+                                  with_gain=True)
+    assert op.U is not None
+    off, GH = op.gain_off, op.gain_hist_groups
+    assert (off + op.ntaps - 1) % 16 == 0
+    rng = np.random.default_rng(2)
+    x = (rng.standard_normal((C, B))
+         + 1j * rng.standard_normal((C, B))).astype(np.complex64)
+    g16 = rng.uniform(0.0, 1.0, (C, GH + B // 16)).astype(np.float32)
+
+    def upsampled(gext, L):
+        gp = np.concatenate([gext, gext[:, -1:]], axis=-1)
+        e = np.arange(L)
+        gg, p = np.divmod(e + off, 16)
+        return gp[:, gg] * (1 - p / 16.0) + gp[:, gg + 1] * (p / 16.0)
+
+    st = op.init_state(C)
+    _, y = op(st, x, gain16=g16)
+    g = upsampled(g16, B + op.ntaps - 1)
+    hist = np.asarray(st[1]) * g[:, : op.ntaps - 1]
+    ref = op.reference((np.asarray(st[0]), hist),
+                       x * g[:, op.ntaps - 1:])
+    snr = 10 * np.log10(np.mean(np.abs(ref) ** 2)
+                        / np.mean(np.abs(np.asarray(y) - ref) ** 2))
+    assert snr > 80.0, snr
+
+
+@pytest.mark.slow
+def test_chain_fused_nb_gain_equals_standalone_apply():
+    """Featured wideband chain: blanker gain fused into the front kernel
+    (the default) vs the standalone full-rate apply (forced by dropping
+    the kernel's interp matrix) — same audio."""
+    fs, C = 960000.0, 128
+    cfg = RxChainConfig(sample_rate=fs, channels=C, audio_block=512,
+                        agc=False, noise_blanker=2, fused_frontend=True)
+    tune = [(-fs / 4 + (i + 0.5) * fs / (2 * C)) for i in range(C)]
+    ch = RxChain.create(cfg, tune_hz=tune, mode=int(Mode.USB))
+    assert ch._nb_fused
+    ch_sep = ch.replace(front=ch.front.replace(U=None))
+    assert not ch_sep._nb_fused
+    rng = np.random.default_rng(3)
+    nblk = 3
+    x = 0.05 * (rng.standard_normal((C, nblk * ch.block_in))
+                + 1j * rng.standard_normal((C, nblk * ch.block_in))
+                ).astype(np.complex64)
+    x[:, 50000:50006] += 30.0        # impulse hits both paths identically
+    outs = {}
+    for name, c in (("fused", ch), ("separate", ch_sep)):
+        st = c.init_state()
+        ys = []
+        for i in range(nblk):
+            st, y = c.step(st, x[:, i * c.block_in:(i + 1) * c.block_in])
+            ys.append(np.asarray(y))
+        outs[name] = np.concatenate(ys, axis=-1)
+    a, b = outs["fused"], outs["separate"]
+    snr = 10 * np.log10(np.mean(np.abs(b) ** 2)
+                        / max(np.mean(np.abs(a - b) ** 2), 1e-30))
+    assert snr > 45.0, snr
