@@ -174,6 +174,9 @@ class Radio:
         if getattr(self, "serial_key", None) is not None:
             self.serial_key.close()
             self.serial_key = None
+        if getattr(self, "midi_in", None) is not None:
+            self.midi_in.close()
+            self.midi_in = None
         if self.mic is not None:
             self.mic.stop()
             self.mic = None
@@ -798,6 +801,9 @@ class Radio:
         the keyup envelope restores RX click-free (quisk.c:2711-2738)."""
         if getattr(self, "serial_key", None) is not None:
             self.serial_key.poll()           # sound.c:898 polls every loop
+        if getattr(self, "midi_in", None) is not None:
+            # the reference reads MIDI every sound loop (quisk.c:5570)
+            self.midi_ctl.dispatch(self.midi_in.poll())
         # hardware housekeeping like the reference's loop (quisk.py:4466
         # HeartBeat ~10 Hz; 5570-5585 ReturnFrequency hardware-initiated
         # tuning, e.g. a front-panel knob)
@@ -1001,6 +1007,24 @@ class Radio:
         self.serial_key = SerialKey(port, cts=cts, dsr=dsr,
                                     read_bits=read_bits)
         return self.serial_key.error
+
+    def enable_midi(self, source: str | int | None = None,
+                    ptt_toggle: bool = False, default_map: bool = True):
+        """Attach a MIDI control surface (quisk.c:5570 control_midi +
+        midi_handler.py): ``source`` is a rawmidi device path
+        (/dev/midi*), an open fd, or None (feed bytes via
+        ``radio.midi_in.feed`` — the test path).  Events are polled once
+        per :meth:`run_once` iteration like the reference's sound loop
+        and drive PTT/CW/tune/band/sliders through the controller's
+        bindings.  Returns the :class:`MidiRadioController` so callers
+        can rebind."""
+        from quisk_tpu.app.midi import MidiInput, MidiRadioController
+
+        self.midi_in = MidiInput(source)
+        self.midi_ctl = MidiRadioController(self, ptt_toggle=ptt_toggle)
+        if default_map:
+            self.midi_ctl.bind_default()
+        return self.midi_ctl
 
     # ---- transmit -------------------------------------------------------
     def enable_tx(self, tx_rate: float | None = None,
