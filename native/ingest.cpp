@@ -265,7 +265,36 @@ struct QtPump {
   uint32_t metis_seq = 0;
   uint8_t ctl[10] = {0};
   uint8_t status = 0;
+  // Hermes radio->PC status plane (quisk.c:3641-3718): C1..C4 for rows
+  // 0..4 (quisk_hermes_to_pc), the latched HL2 ACK response, and the
+  // key/overrange bits decoded from row 0.
+  uint8_t h2pc[20] = {0};
+  uint8_t ack[5] = {0};
+  std::atomic<int32_t> ack_flag{0};
+  std::atomic<int64_t> overrange{0};
+  std::atomic<uint8_t> hw_ptt{0}, hw_cwkey{0}, tx_inhibit{0};
 };
+
+// Route one radio->PC C0..C4 group (quisk.c:3639-3676): ACK-bearing
+// responses (C0 bit 7 of the >>1 view) latch for the host's write-queue
+// state machine; rows 0..4 store C1..C4; row 0 carries PTT (C0 bit 0),
+// CW key (C0 bit 2), overrange (C1 bit 0) and the TX-inhibit bit.
+static void qt_hermes_route(QtPump* p, const uint8_t* g) {
+  uint32_t d = (uint32_t)g[0] >> 1;
+  if (d & 0x40) {  // HL2 ACK response: latch, do not store as row data
+    memcpy(p->ack, g, 5);
+    p->ack_flag.store(1, std::memory_order_release);
+    return;
+  }
+  d >>= 2;
+  if (d <= 4) memcpy(p->h2pc + d * 4, g + 1, 4);
+  if (d == 0) {
+    if (g[1] & 0x01) p->overrange.fetch_add(1, std::memory_order_relaxed);
+    p->tx_inhibit.store((g[1] & 0x02) ? 0 : 1, std::memory_order_relaxed);
+    p->hw_ptt.store(g[0] & 0x01, std::memory_order_relaxed);
+    p->hw_cwkey.store((g[0] >> 2) & 0x01, std::memory_order_relaxed);
+  }
+}
 
 void* qt_pump_create(int32_t codec, int32_t n_rx, const char* host,
                      int32_t port, int64_t ring_floats) {
@@ -352,6 +381,8 @@ static void qt_pump_loop(QtPump* p) {
                                       iqbuf.data(), 2 * MAXNS, micbuf,
                                       p->ctl);
           if (ns < 0) { ++p->bad; continue; }
+          qt_hermes_route(p, p->ctl);
+          qt_hermes_route(p, p->ctl + 5);
           for (int r = 0; r < p->n_rx; ++r)
             qt_ring_push(p->rings[r], iqbuf.data() + (size_t)r * 2 * MAXNS,
                          2 * ns);
@@ -408,6 +439,28 @@ void qt_pump_stats(void* h, int64_t* out) {
   out[4] = ov;
   out[5] = p->rings.empty() ? 0 : fill;
   out[6] = qt_ring_size(p->mic);
+}
+
+// Copy the Hermes status plane: out[0..19] = C1..C4 of rows 0..4,
+// out[20] = hardware PTT, out[21] = hardware CW key, out[22] = TX inhibit.
+void qt_pump_hermes_status(void* h, uint8_t* out23) {
+  QtPump* p = (QtPump*)h;
+  memcpy(out23, p->h2pc, 20);
+  out23[20] = p->hw_ptt.load(std::memory_order_relaxed);
+  out23[21] = p->hw_cwkey.load(std::memory_order_relaxed);
+  out23[22] = p->tx_inhibit.load(std::memory_order_relaxed);
+}
+
+int64_t qt_pump_overrange(void* h) {
+  return ((QtPump*)h)->overrange.load(std::memory_order_relaxed);
+}
+
+// 1 and the 5 ACK bytes if a fresh ACK arrived since the last take.
+int32_t qt_pump_take_ack(void* h, uint8_t* out5) {
+  QtPump* p = (QtPump*)h;
+  if (!p->ack_flag.exchange(0, std::memory_order_acquire)) return 0;
+  memcpy(out5, p->ack, 5);
+  return 1;
 }
 
 int64_t qt_pump_available(void* h) {

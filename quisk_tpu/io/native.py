@@ -95,6 +95,12 @@ def _bind_pump(lib):
     lib.qt_blast.argtypes = [ctypes.c_char_p, ctypes.c_int32,
                              ctypes.c_int32, ctypes.c_int32,
                              ctypes.c_int64, ctypes.c_double]
+    c_u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.qt_pump_hermes_status.argtypes = [ctypes.c_void_p, c_u8p]
+    lib.qt_pump_overrange.restype = ctypes.c_int64
+    lib.qt_pump_overrange.argtypes = [ctypes.c_void_p]
+    lib.qt_pump_take_ack.restype = ctypes.c_int32
+    lib.qt_pump_take_ack.argtypes = [ctypes.c_void_p, c_u8p]
 
 
 def have_native() -> bool:

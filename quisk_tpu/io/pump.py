@@ -63,6 +63,14 @@ class UdpPump:
         self.samples = 0
         self.starved = 0
         self.peer = None              # last sender address
+        # Hermes radio->PC status plane (quisk.c:3641-3718): rows 0..4
+        # C1..C4, latched HL2 ACK, and the key/overrange bits from row 0
+        self.h2pc = bytearray(20)
+        self._ack: bytes | None = None
+        self.overrange = 0
+        self.hw_ptt = 0
+        self.hw_cwkey = 0
+        self.tx_inhibit = 0
 
     # ---- lifecycle ------------------------------------------------------
     def start(self) -> None:
@@ -112,6 +120,38 @@ class UdpPump:
                     if np.asarray(parsed[1]).dtype == np.int16:
                         mic /= 32768.0
                     self.mic_ring.push(mic)
+                if isinstance(parsed, tuple) and len(parsed) >= 3:
+                    for g in np.asarray(parsed[2]).reshape(-1, 5):
+                        self._route_ctl(bytes(g))
+
+    def _route_ctl(self, g: bytes) -> None:
+        """Route one radio->PC C0..C4 group (quisk.c:3639-3676): latch
+        HL2 ACK responses; store rows 0..4; decode row 0's PTT/CW key/
+        overrange/TX-inhibit bits."""
+        d = g[0] >> 1
+        if d & 0x40:                  # ACK response: latch, don't store
+            self._ack = g
+            return
+        d >>= 2
+        if d <= 4:
+            self.h2pc[d * 4: d * 4 + 4] = g[1:5]
+        if d == 0:
+            if g[1] & 0x01:
+                self.overrange += 1
+            self.tx_inhibit = 0 if (g[1] & 0x02) else 1
+            self.hw_ptt = g[0] & 0x01
+            self.hw_cwkey = (g[0] >> 2) & 0x01
+
+    # ---- Hermes status accessors (shared API with NativePump) ------------
+    def hermes_status(self) -> dict:
+        return {"h2pc": bytes(self.h2pc), "ptt": self.hw_ptt,
+                "cwkey": self.hw_cwkey, "tx_inhibit": self.tx_inhibit,
+                "overrange": self.overrange}
+
+    def take_ack(self) -> bytes | None:
+        """The latched HL2 ACK response, once (None if no new ACK)."""
+        ack, self._ack = self._ack, None
+        return ack
 
     # ---- block assembly --------------------------------------------------
     def available(self) -> int:
@@ -234,6 +274,23 @@ class NativePump:
                 "ring_overruns": int(raw[4]), "fill": int(raw[5]),
                 "mic_fill": int(raw[6]), "starved": self.starved,
                 "native": True}
+
+    def hermes_status(self) -> dict:
+        import ctypes
+        raw = (ctypes.c_uint8 * 23)()
+        self._lib.qt_pump_hermes_status(
+            self._h, ctypes.cast(raw, ctypes.POINTER(ctypes.c_uint8)))
+        return {"h2pc": bytes(raw[:20]), "ptt": int(raw[20]),
+                "cwkey": int(raw[21]), "tx_inhibit": int(raw[22]),
+                "overrange": int(self._lib.qt_pump_overrange(self._h))}
+
+    def take_ack(self) -> bytes | None:
+        import ctypes
+        raw = (ctypes.c_uint8 * 5)()
+        if not self._lib.qt_pump_take_ack(
+                self._h, ctypes.cast(raw, ctypes.POINTER(ctypes.c_uint8))):
+            return None
+        return bytes(raw)
 
 
 def make_pump(codec, n_rx: int = 1, port: int = 0, host: str = "127.0.0.1",
