@@ -135,6 +135,67 @@ def cmd_info(args) -> int:
     return 0
 
 
+def cmd_config(args) -> int:
+    """The runtime config surface (parity configure.py:543-588: view and
+    edit every flag, persisted per named radio in the JSON settings db)."""
+    from quisk_tpu.app import flags as flagmod
+    from quisk_tpu.app.config import Settings, default_settings_path
+
+    path = args.settings or str(default_settings_path())
+    st = Settings(path)
+    fl = st.get_flags(args.radio)
+
+    if args.action == "sections":
+        for s in flagmod.sections():
+            print(s)
+        return 0
+    if args.action == "docs":
+        print(flagmod.docs_markdown())
+        return 0
+    if args.action == "list":
+        for name, fg in flagmod.REGISTRY.items():
+            if args.section and fg.section != args.section:
+                continue
+            v = fl.get(name)
+            if args.changed and v == fg.default:
+                continue
+            mark = "*" if v != fg.default else " "
+            print(f"{mark} {fg.section:18s} {name:34s} = {v!r}")
+        return 0
+    if args.action == "get":
+        try:
+            print(json.dumps(fl.get(args.name)))
+        except AttributeError:
+            print(f"unknown flag {args.name!r}", file=sys.stderr)
+            return 1
+        return 0
+    if args.action == "set":
+        try:
+            value = json.loads(args.value)
+        except ValueError:
+            value = args.value             # bare strings need no quotes
+        try:
+            fl.set(args.name, value)
+        except (KeyError, TypeError, ValueError) as e:
+            print(str(e), file=sys.stderr)
+            return 1
+        st.set_flags(args.radio, fl)
+        st.save()
+        print(f"{args.name} = {fl.get(args.name)!r}  (saved to {path})")
+        return 0
+    if args.action == "unset":
+        if args.name not in flagmod.REGISTRY:
+            print(f"unknown flag {args.name!r}", file=sys.stderr)
+            return 1
+        fl._values.pop(args.name, None)
+        st.set_flags(args.radio, fl)
+        st.save()
+        print(f"{args.name} restored to default "
+              f"{flagmod.REGISTRY[args.name].default!r}")
+        return 0
+    return 1
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="quisk-tpu",
                                  description="TPU-native SDR DSP framework")
@@ -171,6 +232,22 @@ def main(argv=None) -> int:
     p = sub.add_parser("info", help="show rates + decimation plan for a WAV")
     p.add_argument("--in", dest="inp", required=True)
     p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("config",
+                       help="view/edit persisted flags per named radio")
+    p.add_argument("action",
+                   choices=("list", "get", "set", "unset", "sections",
+                            "docs"))
+    p.add_argument("name", nargs="?", help="flag name (get/set/unset)")
+    p.add_argument("value", nargs="?", help="new value (set; JSON or text)")
+    p.add_argument("--radio", default="default", help="named radio")
+    p.add_argument("--settings", default=None,
+                   help="settings db path (default: $QUISK_TPU_SETTINGS "
+                        "or ~/.quisk_tpu/quisk_settings.json)")
+    p.add_argument("--section", default=None, help="filter list by section")
+    p.add_argument("--changed", action="store_true",
+                   help="list only non-default values")
+    p.set_defaults(fn=cmd_config)
 
     args = ap.parse_args(argv)
     return args.fn(args)

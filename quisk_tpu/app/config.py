@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import pathlib
 import time
 from typing import Any
@@ -108,6 +109,16 @@ class RadioConfig:
             dc_remove_bw=int(flags.dc_remove_bw),
             invert_spectrum=bool(flags.invertSpectrum),
         )
+
+
+def default_settings_path() -> pathlib.Path:
+    """The settings database location (the reference defaults
+    ``quisk_settings.json`` next to the config file, configure.py:92-94):
+    ``$QUISK_TPU_SETTINGS`` or ``~/.quisk_tpu/quisk_settings.json``."""
+    env = os.environ.get("QUISK_TPU_SETTINGS")
+    if env:
+        return pathlib.Path(env)
+    return pathlib.Path.home() / ".quisk_tpu" / "quisk_settings.json"
 
 
 class Settings:

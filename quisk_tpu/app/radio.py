@@ -44,6 +44,11 @@ class Radio:
         self.hw = (get_hardware(hardware)(cfg)
                    if isinstance(hardware, str) else hardware)
         self.settings = settings
+        # the per-radio flag surface (configure.py:543-588 round trip):
+        # overrides persisted in the settings db are restored here
+        from quisk_tpu.app.flags import Flags
+        self.flags = (settings.get_flags(cfg.name)
+                      if settings is not None else Flags())
         self.status = StatusBoard()
         self.rx_cfg = cfg.rx_chain_config()
         # VFO split (parity quisk.c:200 rx_tune_freq = tune - VFO): the chain
@@ -182,6 +187,38 @@ class Radio:
             self.mic = None
         if self.settings is not None:
             self.settings.save()
+
+    # ---- the runtime flag surface (configure.py:543-588: view/edit any
+    # flag on a running radio, persisted per named radio) ------------------
+    def get_flag(self, name: str):
+        return self.flags.get(name)
+
+    def set_flag(self, name: str, value) -> None:
+        """Set a registry flag (validated) and persist it for this named
+        radio; restored on the next construction with the same Settings
+        (the reference's configure.py JSON load/store round trip)."""
+        self.flags.set(name, value)
+        if self.settings is not None:
+            self.settings.set_flags(self.cfg.name, self.flags)
+            self.settings.save()
+
+    def flags_dict(self, section: str | None = None,
+                   changed_only: bool = False) -> dict:
+        """{name: {value, default, type, section, help, choices,
+        changed}} for the config surface (CLI + web UI)."""
+        from quisk_tpu.app.flags import REGISTRY
+        out = {}
+        for name, fl in REGISTRY.items():
+            if section is not None and fl.section != section:
+                continue
+            v = self.flags.get(name)
+            if changed_only and v == fl.default:
+                continue
+            out[name] = {"value": v, "default": fl.default,
+                         "type": fl.type, "section": fl.section,
+                         "help": fl.help, "choices": list(fl.choices),
+                         "changed": v != fl.default}
+        return out
 
     # ---- control --------------------------------------------------------
     def set_frequency(self, freq_hz: float) -> None:

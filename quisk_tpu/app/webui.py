@@ -259,9 +259,22 @@ class _Handler(socketserver.StreamRequestHandler):
                     b"Sec-WebSocket-Accept: " + accept.encode() + b"\r\n\r\n")
                 self._ws_loop(srv, rest)
                 return
-            body = _PAGE.encode()
+            if path.startswith("/flags"):
+                # the runtime config surface (configure.py:543-588): full
+                # registry + per-radio values; edits go over the WS as
+                # {"cmd": "flag", "name": ..., "value": ...}
+                sec = None
+                if "?section=" in path:
+                    sec = path.split("?section=", 1)[1]
+                fd = (srv.control.flags_dict(section=sec)
+                      if hasattr(srv.control, "flags_dict") else {})
+                body = json.dumps(fd).encode()
+                ctype = b"application/json"
+            else:
+                body = _PAGE.encode()
+                ctype = b"text/html"
             self.request.sendall(
-                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype + b"\r\n"
                 b"Content-Length: " + str(len(body)).encode()
                 + b"\r\nConnection: close\r\n\r\n" + body)
         except (ConnectionError, OSError, ValueError):
@@ -581,6 +594,8 @@ class WebUIServer:
                   if k not in ("cmd", "id", "event")}
             if not p.dispatch(str(msg["id"]), str(msg["event"]), **kw):
                 return
+        elif cmd == "flag" and hasattr(self.control, "set_flag"):
+            self.control.set_flag(str(msg["name"]), msg["value"])
         elif cmd == "zoom":
             z = float(msg["value"])
             if not 1.0 <= z <= 1024.0:
