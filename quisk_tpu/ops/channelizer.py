@@ -23,6 +23,8 @@ leading [S, ...] axis of independent wideband streams.
 
 from __future__ import annotations
 
+from typing import Any
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -54,16 +56,24 @@ class PFBChannelizer:
     n_chan: int = struct.field(pytree_node=False)
     P: int = struct.field(pytree_node=False)
     block: int = struct.field(pytree_node=False)
+    #: optional MXU-matmul IDFT replacing jnp.fft.ifft (ops/mxdft.py —
+    #: the TPU FFT runs ~0.1-0.2 TFLOP/s effective; two HIGHEST-precision
+    #: 64x64 matmul stages beat it at K=4096, BENCH_DETAIL A/B)
+    dft: Any = None
 
     @classmethod
     def create(cls, n_chan: int, block: int, taps_per_branch: int = 8,
-               atten_db: float = 90.0):
+               atten_db: float = 90.0, mxu_dft: bool = False):
         if block % n_chan:
             raise ValueError("block must be a multiple of n_chan")
         h = pfb_prototype(n_chan, taps_per_branch, atten_db)
         hp = h.reshape(taps_per_branch, n_chan)
+        dft = None
+        if mxu_dft:
+            from quisk_tpu.ops.mxdft import MatmulDFT
+            dft = MatmulDFT.create(n_chan, inverse=True)
         return cls(h_poly=jnp.asarray(hp, jnp.float32), n_chan=n_chan,
-                   P=taps_per_branch, block=block)
+                   P=taps_per_branch, block=block, dft=dft)
 
     def init_state(self, streams: int):
         return np.zeros((streams, (self.P - 1) * self.n_chan), np.complex64)
@@ -97,8 +107,12 @@ class PFBChannelizer:
             w = hrev[p]
             ur = ur + fr[:, p:p + M] * w
             ui = ui + fi[:, p:p + M] * w
-        v = jax.lax.complex(ur[..., ::-1], ui[..., ::-1])
-        y = jnp.fft.ifft(v, axis=-1) * K          # [S, M, K]
+        if self.dft is not None:
+            yr, yi = self.dft.apply_ri(ur[..., ::-1], ui[..., ::-1])
+            y = jax.lax.complex(yr, yi)           # = K * ifft
+        else:
+            v = jax.lax.complex(ur[..., ::-1], ui[..., ::-1])
+            y = jnp.fft.ifft(v, axis=-1) * K      # [S, M, K]
         ang = (2.0 * np.pi / K) * jnp.arange(K, dtype=jnp.float32)
         rot = jax.lax.complex(jnp.cos(ang), jnp.sin(ang)).astype(y.dtype)
         y = y * rot[None, None, :]
@@ -127,16 +141,21 @@ class OversampledPFB:
     n_chan: int = struct.field(pytree_node=False)
     P: int = struct.field(pytree_node=False)
     block: int = struct.field(pytree_node=False)
+    dft: Any = None                 # optional MXU IDFT (see PFBChannelizer)
 
     @classmethod
     def create(cls, n_chan: int, block: int, taps_per_branch: int = 8,
-               atten_db: float = 90.0):
+               atten_db: float = 90.0, mxu_dft: bool = False):
         if n_chan % 2 or block % n_chan:
             raise ValueError("need even n_chan and block % n_chan == 0")
         h = pfb_prototype(n_chan, taps_per_branch, atten_db)
+        dft = None
+        if mxu_dft:
+            from quisk_tpu.ops.mxdft import MatmulDFT
+            dft = MatmulDFT.create(n_chan, inverse=True)
         return cls(h_poly=jnp.asarray(h.reshape(taps_per_branch, n_chan),
                                       jnp.float32),
-                   n_chan=n_chan, P=taps_per_branch, block=block)
+                   n_chan=n_chan, P=taps_per_branch, block=block, dft=dft)
 
     def init_state(self, streams: int):
         # history: P*K - hop samples so window m=0 of the next block
@@ -183,8 +202,12 @@ class OversampledPFB:
             halves_i.append(ui)
         vr = jnp.concatenate(halves_r, axis=-1)[..., ::-1]
         vi = jnp.concatenate(halves_i, axis=-1)[..., ::-1]
-        v = jax.lax.complex(vr, vi)
-        y = jnp.fft.ifft(v, axis=-1) * K           # [S, n_out, K]
+        if self.dft is not None:
+            yr, yi = self.dft.apply_ri(vr, vi)
+            y = jax.lax.complex(yr, yi)            # = K * ifft
+        else:
+            v = jax.lax.complex(vr, vi)
+            y = jnp.fft.ifft(v, axis=-1) * K       # [S, n_out, K]
         # constant per-channel phase from the history alignment ...
         c_idx = jnp.arange(K)
         ang0 = (2.0 * np.pi / K) * c_idx.astype(jnp.float32) * (M - 1)

@@ -1,0 +1,54 @@
+"""Matmul (MXU) DFT: numerical parity with the FFT and the PFB A/B.
+
+ops/mxdft.py replaces jnp.fft on the TPU's weak FFT unit with two
+HIGHEST-precision matmul stages (VERDICT r3 item 3); these tests pin the
+math on CPU — the perf A/B lives in bench.py / BENCH_DETAIL.md.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from quisk_tpu.ops.channelizer import OversampledPFB, PFBChannelizer
+from quisk_tpu.ops.mxdft import MatmulDFT, plan_split
+
+_apply = jax.jit(lambda d, v: d(v))
+
+
+@pytest.mark.parametrize("K", [16, 64, 120, 512, 4096])
+@pytest.mark.parametrize("inverse", [True, False])
+def test_matmul_dft_matches_fft(K, inverse, rng):
+    v = (rng.standard_normal((3, 5, K))
+         + 1j * rng.standard_normal((3, 5, K))).astype(np.complex64)
+    d = MatmulDFT.create(K, inverse=inverse)
+    got = np.asarray(_apply(d, jnp.asarray(v)))
+    ref = np.fft.ifft(v, axis=-1) * K if inverse else np.fft.fft(v, axis=-1)
+    err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+    assert err < 2e-5, (K, inverse, err)
+
+
+def test_plan_split_balanced():
+    assert plan_split(4096) == (64, 64)
+    assert plan_split(512) == (16, 32)
+    assert plan_split(120) == (10, 12)
+    with pytest.raises(ValueError):
+        plan_split(13)                     # prime: no nontrivial split
+
+
+@pytest.mark.parametrize("cls", [PFBChannelizer, OversampledPFB])
+def test_pfb_mxu_dft_matches_fft_path(cls, rng):
+    K, P, block = 64, 8, 64 * 8
+    fft_pfb = cls.create(K, block, taps_per_branch=P)
+    mxu_pfb = cls.create(K, block, taps_per_branch=P, mxu_dft=True)
+    x = (rng.standard_normal((2, 3 * block))
+         + 1j * rng.standard_normal((2, 3 * block))).astype(np.complex64)
+    step = jax.jit(lambda p, h, xb: p(h, xb))
+    h1, h2 = fft_pfb.init_state(2), mxu_pfb.init_state(2)
+    for k in range(3):
+        xb = jnp.asarray(x[:, k * block:(k + 1) * block])
+        h1, y1 = step(fft_pfb, h1, xb)
+        h2, y2 = step(mxu_pfb, h2, xb)
+        err = np.max(np.abs(np.asarray(y1) - np.asarray(y2)))
+        scale = max(1e-9, float(np.max(np.abs(np.asarray(y1)))))
+        assert err / scale < 2e-5, (cls.__name__, k, err / scale)
