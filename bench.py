@@ -33,11 +33,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# persistent compilation cache (the reference caches FFTW wisdom the same
-# way, quisk.c:668-677); first compile over the axon tunnel is minutes.
-os.makedirs("/root/repo/.jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+def enable_compile_cache() -> None:
+    """Persistent compilation cache (the reference caches FFTW wisdom the
+    same way, quisk.c:668-677); first compile over the axon tunnel is
+    minutes.  Called from main() and by bench probes — deliberately NOT a
+    module-import side effect: tests import this module for helpers, and
+    a pytest process sharing `.jax_cache/` with concurrent/interrupted
+    bench runs segfaulted inside the cache deserializer (r4 root cause of
+    the full-suite 'Fatal Python error' aborts: jax _cache_read on a torn
+    entry)."""
+    os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 # TPU v5e (v5 lite) public peaks, for the roofline columns
 PEAK_BF16_FLOPS = 197e12
@@ -276,14 +283,91 @@ def bench_stages(iters: int = 20) -> list[dict]:
     return results
 
 
+def bench_nfm_stages(iters: int = 20) -> list[dict]:
+    """NFM chain per-stage profile by the same prefix-differencing method
+    as bench_stages (VERDICT r3 weak-2: no stage table existed for
+    config #3).  Prefixes: identity, fused front (/4), bandpass OLS,
+    FM demod, AGC, FM squelch (measure+apply)."""
+    from quisk_tpu.modes import Mode
+    from quisk_tpu.rx import RxChain, RxChainConfig
+    from quisk_tpu.utils.boundary import make_boundary_step, pack_tree
+
+    C = 1024
+    FS = 192000.0
+    cfg = RxChainConfig(sample_rate=FS, channels=C, audio_block=2048,
+                        agc=True, fm_squelch=True, fused_frontend=True)
+    chain = RxChain.create(
+        cfg, tune_hz=[(-FS / 4 + (i + 0.5) * FS / (2 * C)) for i in range(C)],
+        mode=int(Mode.FM))
+    assert chain.front is not None and not chain.stages \
+        and chain.frac is None
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal((C, chain.block_in))
+         + 1j * rng.standard_normal((C, chain.block_in))).astype(np.complex64)
+
+    def prefix_body(ch, k, st, xx):
+        st = dict(st)
+        y = xx
+        if k >= 1:
+            st["front"], y = ch.front(st["front"], y)
+        if k >= 2:
+            st["bp"], y = ch.bp(st["bp"], y)
+        if k >= 5:
+            rf_db = ch.fm_sq.measure(y)
+        if k >= 3:
+            st["demod"], y = ch.demod(st["demod"], y)
+        if k >= 4:
+            st["agc"], y = ch.agc(st["agc"], y)
+        if k >= 5:
+            st["fm_sq"], y = ch.fm_sq(st["fm_sq"], y, rf_db)
+        return st, y
+
+    pchain = jax.device_put(pack_tree(chain))
+    pstate0 = jax.device_put(pack_tree(chain.init_state()))
+    px = jax.device_put(pack_tree(x))
+    names = ["dispatch floor (identity prefix)",
+             f"front: fused tune+decim/{chain.front.decim} "
+             f"(Pallas, T={chain.front.ntaps})",
+             f"bandpass OLS (T={chain.bp.ntaps}, nfft={chain.bp.nfft})",
+             "FM demod (discriminator + de-emphasis)",
+             "AGC (scan)",
+             "FM squelch (RF measure + mute)"]
+
+    def timed_prefix(k) -> float:
+        stepf = make_boundary_step(
+            lambda ch, st, xx: prefix_body(ch, k, st, xx))
+        st, out = stepf(pchain, pstate0, px)
+        _sync(out)
+        return _timed_best(lambda s: stepf(pchain, s, px), pstate0, iters)
+
+    times = [timed_prefix(k) for k in range(len(names))]
+    out = [{"stage": names[0], "ms": round(times[0] * 1e3, 3)}]
+    for k in range(1, len(names)):
+        dt = times[k] - times[k - 1]
+        out.append({"stage": names[k], "ms": round(dt * 1e3, 3)})
+    return out
+
+
 # ----------------------------------------------------------------- PFB
-def bench_pfb(iters: int = 20, K: int = 4096, mult: int = 8192) -> dict:
+def bench_pfb(iters: int = 20, K: int = 4096, mult: int = 8192,
+              mxu_dft: bool | None = None) -> dict:
     """BASELINE config #5 engine: 4096-channel 2x-oversampled PFB
-    channelizer + mixed demod + per-channel power spectrum, single chip."""
+    channelizer + mixed demod + per-channel power spectrum, single chip.
+
+    ``mxu_dft=None`` A/Bs the cross-branch IDFT — jnp.fft.ifft vs the
+    two-stage MXU matmul DFT (ops/mxdft.py, VERDICT r3 item 3) — and
+    reports the winner with both numbers attached."""
     from quisk_tpu.modes import Mode
     from quisk_tpu.ops.channelizer import OversampledPFB
     from quisk_tpu.ops.demod import MixedDemod
     from quisk_tpu.utils.boundary import make_boundary_step, pack_tree
+
+    if mxu_dft is None:
+        a = bench_pfb(iters, K, mult, mxu_dft=False)
+        b = bench_pfb(iters, K, mult, mxu_dft=True)
+        win = max((a, b), key=lambda r: r["value"])
+        win["ab_idft_msps"] = {"fft": a["value"], "mxu_matmul": b["value"]}
+        return win
 
     S = 1                     # wideband streams
     B = K * mult              # input samples per dispatch: K*32 and K*64
@@ -295,7 +379,7 @@ def bench_pfb(iters: int = 20, K: int = 4096, mult: int = 8192) -> dict:
                               # still measured 30.2% floor on a contended
                               # r3 window; K*8192 (33.5 M samples, 268 MB
                               # in) halves the floor share again
-    pfb = OversampledPFB.create(K, B, taps_per_branch=8)
+    pfb = OversampledPFB.create(K, B, taps_per_branch=8, mxu_dft=mxu_dft)
     modes = [int(Mode.USB), int(Mode.LSB), int(Mode.AM), int(Mode.FM)]
     demod = MixedDemod.create([modes[i % 4] for i in range(K)],
                               sample_rate=2.0 * 48000.0, channels=K)
@@ -333,6 +417,7 @@ def bench_pfb(iters: int = 20, K: int = 4096, mult: int = 8192) -> dict:
         "vs_baseline": round(msps / BASELINE_MSPS, 1),
         "ms_per_block": round(dt * 1e3, 2),
         "dispatch_floor_pct": round(100.0 * floor / dt, 1),
+        "idft": "mxu_matmul" if mxu_dft else "fft",
     }
 
 
@@ -476,36 +561,48 @@ def bench_featured_stages(iters: int = 10) -> list[dict]:
 
 
 # ----------------------------------------------------------------- NFM
-def bench_nfm(iters: int = 20) -> dict:
+def bench_nfm(iters: int = 20, nblk: int | None = None) -> dict:
     """BASELINE config #3: the 192 k NFM chain (FM discriminator +
-    de-emphasis + FM squelch), 1024 channels."""
+    de-emphasis + FM squelch), 1024 channels.  Fused Pallas front (the
+    /4 = 2*2 cascade fuses like the flagship's /20) + the flagship's
+    blocks-per-dispatch sweep — at 8.39 M samples per block the r3
+    single-block window was mostly tunnel dispatch floor (VERDICT r3
+    weak-2: 12.39 ms/block of which the contended floor is 3.6-14 ms)."""
     from quisk_tpu.modes import Mode
     from quisk_tpu.rx import RxChain, RxChainConfig
     from quisk_tpu.utils.boundary import make_boundary_step, pack_tree
 
+    if nblk is None:
+        cands = [bench_nfm(iters, nblk=1)]
+        cands += [bench_nfm(max(12, iters // k), nblk=k) for k in (4, 8)]
+        return max(cands, key=lambda r: r["value"])
     C = 1024
     FS = 192000.0
     cfg = RxChainConfig(sample_rate=FS, channels=C, audio_block=2048,
-                        agc=True, fm_squelch=True)
+                        agc=True, fm_squelch=True, fused_frontend=True)
     chain = RxChain.create(
         cfg, tune_hz=[(-FS / 4 + (i + 0.5) * FS / (2 * C)) for i in range(C)],
         mode=int(Mode.FM))
     rng = np.random.default_rng(3)
-    x = (rng.standard_normal((C, chain.block_in))
-         + 1j * rng.standard_normal((C, chain.block_in))).astype(np.complex64)
-    step = make_boundary_step(lambda ch, st, xx: ch.step(st, xx))
+    x = (rng.standard_normal((C, nblk * chain.block_in))
+         + 1j * rng.standard_normal((C, nblk * chain.block_in))
+         ).astype(np.complex64)
+    step = make_boundary_step(
+        (lambda ch, st, xx: ch.step(st, xx)) if nblk == 1
+        else (lambda ch, st, xx: ch.step_blocks(st, xx, nblk)))
     pchain = jax.device_put(pack_tree(chain))
     pstate = jax.device_put(pack_tree(chain.init_state()))
     px = jax.device_put(pack_tree(x))
     cur, audio = step(pchain, pstate, px)
     _sync(audio)
     dt = _timed_best(lambda st: step(pchain, st, px), pstate, iters)
-    msps = C * chain.block_in / dt / 1e6
+    msps = C * chain.block_in * nblk / dt / 1e6
     return {
         "metric": "NFM chain 1024ch @192k (discriminator+deemph+FM squelch, BASELINE config 3)",
         "value": round(msps, 1), "unit": "Msps",
         "vs_baseline": round(msps / BASELINE_MSPS, 1),
-        "ms_per_block": round(dt * 1e3, 2),
+        "blocks_per_dispatch": nblk,
+        "ms_per_block": round(dt / nblk * 1e3, 2),
     }
 
 
@@ -544,6 +641,7 @@ def bench_tx(iters: int = 20) -> dict:
 
 
 def main():
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true",
                     help="also bench stages/PFB/TX and write BENCH_DETAIL.md")
@@ -567,6 +665,7 @@ def main():
     feat = bench_featured(iters=it)
     feat_stages = bench_featured_stages(iters=it)
     nfm = bench_nfm(iters=it)
+    nfm_stages = bench_nfm_stages(iters=it)
     pfb = bench_pfb(iters=it)
     tx = bench_tx(iters=it)
     for extra in (feat, nfm, pfb, tx):
@@ -631,14 +730,22 @@ def main():
               "tunnel contention during its window (it can exceed the",
               "fused featured total); the MARGINAL rows are the signal.",
               "",
+              "## NFM-chain stage breakdown (prefix differencing)", "",
+              "| stage | marginal ms/block |",
+              "|---|---|"]
+    for s in nfm_stages:
+        lines.append(f"| {s['stage']} | {s['ms']} |")
+    lines += ["",
               "## Other configs", "",
               f"- {feat['metric']}: {feat['value']} {feat['unit']} "
               f"({feat['ms_per_block']} ms/block)",
               f"- {nfm['metric']}: {nfm['value']} {nfm['unit']} "
-              f"({nfm['ms_per_block']} ms/block)",
+              f"({nfm['ms_per_block']} ms/block, "
+              f"{nfm.get('blocks_per_dispatch')} blocks/dispatch)",
               f"- {pfb['metric']}: {pfb['value']} {pfb['unit']} "
               f"({pfb['ms_per_block']} ms/block, dispatch floor "
-              f"{pfb['dispatch_floor_pct']}% of the window)",
+              f"{pfb['dispatch_floor_pct']}% of the window, IDFT "
+              f"{pfb.get('idft')}; A/B {pfb.get('ab_idft_msps')})",
               f"- {tx['metric']}: {tx['value']} {tx['unit']} "
               f"({tx['ms_per_block']} ms/block)",
               ""]

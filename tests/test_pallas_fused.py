@@ -37,16 +37,17 @@ def test_fused_op_matches_reference():
     assert snr2 > 100.0, snr2
 
 
-@pytest.mark.parametrize("fs,fused_decim", [
-    (384000.0, 8),      # /8 = 2*2*2: three HB45s fuse into one pass
-    (960000.0, 20),     # flagship /20 = 2*2*5: whole cascade fuses
+@pytest.mark.parametrize("fs,fused_decim,mode", [
+    (384000.0, 8, int(Mode.USB)),   # /8 = 2*2*2: three HB45s fuse
+    (960000.0, 20, int(Mode.USB)),  # flagship /20 = 2*2*5: whole cascade
+    (192000.0, 4, int(Mode.FM)),    # NFM config #3 front (bench_nfm)
 ])
 @pytest.mark.slow
-def test_fused_chain_equals_unfused(fs, fused_decim):
+def test_fused_chain_equals_unfused(fs, fused_decim, mode):
     C = 128
     cfg = dict(sample_rate=fs, channels=C, audio_block=512, agc=True)
     tune = [(-fs / 4 + (i + 0.5) * fs / (2 * C)) for i in range(C)]
-    modes = [int(Mode.USB), int(Mode.AM)][0]
+    modes = mode
     a = RxChain.create(RxChainConfig(**cfg), tune_hz=tune, mode=modes)
     b = RxChain.create(RxChainConfig(**cfg, fused_frontend=True),
                        tune_hz=tune, mode=modes)
@@ -107,16 +108,16 @@ def test_fused_gain_matches_manual_apply():
 
 @pytest.mark.slow
 def test_chain_fused_nb_gain_equals_standalone_apply():
-    """Featured wideband chain: blanker gain fused into the front kernel
-    (the default) vs the standalone full-rate apply (forced by dropping
-    the kernel's interp matrix) — same audio."""
+    """Featured wideband chain: blanker detection+gain fused into the
+    front kernel (the default) vs the standalone full-rate op (forced by
+    dropping the kernel's NB plan) — same audio."""
     fs, C = 960000.0, 128
     cfg = RxChainConfig(sample_rate=fs, channels=C, audio_block=512,
                         agc=False, noise_blanker=2, fused_frontend=True)
     tune = [(-fs / 4 + (i + 0.5) * fs / (2 * C)) for i in range(C)]
     ch = RxChain.create(cfg, tune_hz=tune, mode=int(Mode.USB))
     assert ch._nb_fused
-    ch_sep = ch.replace(front=ch.front.replace(U=None))
+    ch_sep = ch.replace(front=ch.front.replace(nbspec=None))
     assert not ch_sep._nb_fused
     rng = np.random.default_rng(3)
     nblk = 3
@@ -136,3 +137,55 @@ def test_chain_fused_nb_gain_equals_standalone_apply():
     snr = 10 * np.log10(np.mean(np.abs(b) ** 2)
                         / max(np.mean(np.abs(a - b) ** 2), 1e-30))
     assert snr > 45.0, snr
+
+
+@pytest.mark.slow
+def test_in_kernel_nb_detect_equals_host_detect():
+    """call_nb (detection + gain inside the kernel, VERDICT r3 item 1)
+    must equal the with_gain path fed by the host NoiseBlanker.detect —
+    exactly, streaming across blocks, including the carried coarse gain."""
+    import jax.numpy as jnp
+    from quisk_tpu.ops.noise import NoiseBlanker
+
+    fs, C, decim = 960000.0, 128, 20
+    B = 2048 * decim
+    taps = design.decimator(decim, fs)
+    tune = [(-fs / 4 + (i + 0.5) * fs / (2 * C)) for i in range(C)]
+    nb = NoiseBlanker.create(fs, level=2)
+    assert nb.pool == 16
+    f_old = FusedTuneDecimate.create(taps, tune, fs, B, decim, C,
+                                     with_gain=True)
+    f_new = FusedTuneDecimate.create(
+        taps, tune, fs, B, decim, C,
+        nb_detect={"avg_win": nb.avg_win, "kwidth": nb.kwidth})
+    GH = f_new.nbspec.GH
+    assert GH == f_new.gain_hist_groups
+    rng = np.random.default_rng(0)
+    ons = jnp.ones((C, 1), jnp.float32)
+    st_old, st_new = f_old.init_state(C), f_new.init_state(C)
+    nbst = nb.init_state(C)
+    nbg = jnp.ones((C, GH), jnp.float32)
+    for blk in range(3):
+        xb = (rng.standard_normal((C, B))
+              + 1j * rng.standard_normal((C, B))).astype(np.complex64)
+        for c in range(0, C, 7):         # impulses to blank
+            for p in rng.integers(0, B, 5):
+                xb[c, p] += 40.0 * np.exp(1j * rng.uniform(0, 2 * np.pi))
+        xb = jnp.asarray(xb)
+        nbst, gc = nb.detect(nbst, xb)
+        gc = 1.0 + ons * (gc - 1.0)
+        gext = jnp.concatenate([nbg, gc], axis=-1)
+        st_old, y_old = f_old(st_old, xb, gain16=gext)
+        st_new, y_new, gout = f_new.call_nb(st_new, xb, nbg, ons, nb.limit)
+        assert float(jnp.max(jnp.abs(gout - gc))) == 0.0, blk
+        err = float(jnp.max(jnp.abs(y_old - y_new)))
+        assert err == 0.0, (blk, err)
+        nbg = gout[:, -GH:]
+    # toggle off: gain must be exactly 1 (pass-through)
+    off = jnp.zeros((C, 1), jnp.float32)
+    xb = jnp.asarray((rng.standard_normal((C, B))
+                      + 1j * rng.standard_normal((C, B))
+                      ).astype(np.complex64))
+    _, _, g_off = f_new.call_nb(st_new, xb, jnp.ones((C, GH)), off,
+                                nb.limit)
+    assert float(jnp.min(g_off)) == 1.0
