@@ -20,6 +20,7 @@ the phase captured at its first sample, so block boundaries are exact.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import numpy as np
 import jax
@@ -32,9 +33,115 @@ from jax.experimental.pallas import tpu as pltpu
 _TWO_PI_OVER_2_32 = np.float32(2.0 * np.pi / 4294967296.0)
 
 
+class _NBSpec(NamedTuple):
+    """Static plan for fused noise-blanker DETECTION inside the front
+    kernel (VERDICT r3 item 1): the blanker's only remaining cost was one
+    full-rate HBM read of the raw IQ to compute the 16:1 coarse gain —
+    samples the kernel already holds in VMEM.  The window is extended by
+    an LB-sample halo in front (moving-average + widening lookback) and
+    LA behind (widening lookahead), group magnitude sums/maxes are
+    reduced in-kernel (MXU one-hot dots + a shift-max tree), and the
+    coarse gain comes out both as the per-sample multiplier (via the
+    existing U interp dot) and as a [C, B/16] side output that the chain
+    carries as next block's history gain."""
+
+    LB: int          # front halo, 128-aligned (>= 16*HC + avg_win + 16)
+    LA: int          # back halo, 128-aligned (>= 16*HC + 32)
+    GH: int          # coarse groups covering the T-1 raw history samples
+    HC: int          # widening half-window in coarse groups
+    W4: int          # moving-average window in coarse groups (avg_win/16)
+    avg_win: int     # moving-average window in raw samples
+    j0: int          # scratch index of the first x-group boundary
+    Gq: int          # whole coarse groups in the scratch window
+    Gp: int          # allocated (padded) stats width
+    delta: int       # slab index k -> stats index r = k + delta
+    base16: int      # gout index m -> stats index r = m + base16
+    GB: int          # total x-groups in the block (B/16)
+    GWp: int         # gain-slab width (matches the U contract)
+    Gout: int        # output gain groups per tile (R*s*TN/16)
+    GoutP: int       # Gout rounded up to the 128-lane tiling
+    rc: tuple        # coarse raised-cosine widening taps (len 2*HC+1)
+
+
+def _shift_lanes(a, d, TC):
+    """a[:, r] -> a[:, r + d] with zero fill (d may be negative)."""
+    n = a.shape[-1]
+    z = jnp.zeros((TC, abs(d)), jnp.float32)
+    if d == 0:
+        return a
+    if d > 0:
+        return jnp.concatenate([a[:, d:], z], axis=-1)
+    return jnp.concatenate([z, a[:, :n + d]], axis=-1)
+
+
+def _nb_detect_in_kernel(nb, ti, col, TC, xr_s, xi_s, g_s, S_s, X_s,
+                         gh_ref, on_ref, lim_ref, G16_ref, Sel_ref,
+                         go_ref):
+    """Compute the coarse blanker gain from the window already in VMEM
+    (quisk.c:680 semantics on the 16:1 grid — identical math to
+    NoiseBlanker._coarse_gain, asserted by tests/test_pallas_fused.py)."""
+    # group stats: sums via a one-hot MXU dot, maxes via a shift-max tree
+    # + a selection dot (Mosaic has no 16-wide lane reduction)
+    S_s[:] = jnp.zeros_like(S_s)
+    X_s[:] = jnp.zeros_like(X_s)
+    GCH = 32                       # groups per chunk (512 lanes)
+    for k in range(0, nb.Gq, GCH):
+        gc = min(GCH, nb.Gq - k)
+        c0 = nb.j0 + 16 * k
+        a = xr_s[:, c0:c0 + 16 * gc]
+        b = xi_s[:, c0:c0 + 16 * gc]
+        m = jnp.sqrt(a * a + b * b)
+        S_s[:, k:k + gc] = jnp.dot(
+            m, G16_ref[:16 * gc, :gc],
+            preferred_element_type=jnp.float32)
+        t = m
+        for d in (8, 4, 2, 1):
+            t = jnp.maximum(t, _shift_lanes(t, d, TC))
+        X_s[:, k:k + gc] = jnp.dot(
+            t, Sel_ref[:16 * gc, :gc],
+            preferred_element_type=jnp.float32)
+    S = S_s[:]
+    X = X_s[:]
+    # trailing moving average over avg_win raw samples (W4 groups)
+    acc = S
+    for d in range(1, nb.W4):
+        acc = acc + _shift_lanes(S, -d, TC)
+    avg = acc * (1.0 / nb.avg_win)
+    thr = lim_ref[0, 0] * jnp.maximum(avg, 1e-12)
+    # pulse detection, masked to real x-groups (zero outside the block —
+    # the host path zero-pads pc the same way)
+    gfirst = col // 16 - nb.base16
+    ga = (jax.lax.broadcasted_iota(jnp.int32, S.shape, 1)
+          + jnp.int32(gfirst))
+    inx = jnp.logical_and(ga >= 0, ga < nb.GB)
+    pulse = jnp.where(jnp.logical_and(X > thr, inx), 1.0, 0.0)
+    # raised-cosine widening on the coarse grid (static taps)
+    pw = jnp.zeros_like(pulse)
+    for i, w in enumerate(nb.rc):
+        pw = pw + np.float32(w) * _shift_lanes(pulse, i - nb.HC, TC)
+    gain = jnp.clip(1.0 - pw, 0.0, 1.0)
+    on = on_ref[:]                     # [TC, 1] stage toggle as data
+    gain = 1.0 + on * (gain - 1.0)
+    # per-sample gain slab for the U interp dot: slab k <-> stats r=k+delta;
+    # history region (ext-group < GH) takes last block's carried gain
+    slab = gain[:, nb.delta:nb.delta + nb.GWp]
+    kk = (jax.lax.broadcasted_iota(jnp.int32, (TC, nb.GWp), 1)
+          + jnp.int32(col // 16))
+    hmask = jnp.where(kk < nb.GH, 1.0, 0.0)
+    g_s[:] = hmask * gh_ref[:] + (1.0 - hmask) * slab
+    # coarse-gain side output (the chain's next-block history carry);
+    # the block is 128-lane padded — the host slices the Gout real groups
+    go_ref[:] = gain[:, nb.base16:nb.base16 + nb.GoutP]
+
+
 def _fused_kernel(word_ref, phase_ref, xr_hbm, xi_hbm, M_ref, *rest,
-                  W, K, R, TN, s, TC, gained=False):
-    if gained:
+                  W, K, R, TN, s, TC, gained=False, nb=None):
+    if nb is not None:
+        (gh_ref, U_ref, on_ref, lim_ref, G16_ref, Sel_ref,
+         yr_ref, yi_ref, go_ref,
+         xr_s, xi_s, g_s, S_s, X_s, sems) = rest
+        gw_hbm = None
+    elif gained:
         (gw_hbm, U_ref, yr_ref, yi_ref, xr_s, xi_s, g_s, sems) = rest
     else:
         (yr_ref, yi_ref, xr_s, xi_s, sems) = rest
@@ -43,15 +150,22 @@ def _fused_kernel(word_ref, phase_ref, xr_hbm, xi_hbm, M_ref, *rest,
     ti = pl.program_id(1)
     col = ti * (R * s * TN)
     row = ci * TC
-    Wp = xr_s.shape[-1]              # W rounded up to the 128-lane tiling
+    # with fused NB detection the scratch window carries an LB-sample
+    # halo in front and LA behind (the input is front-padded by LB on the
+    # host, so the DMA start stays `col` and stays 128-aligned); the
+    # FIR/NCO region is scratch [LB, LB+Wp)
+    LB = nb.LB if nb is not None else 0
+    Wp = xr_s.shape[-1] - (LB + (nb.LA if nb is not None else 0))
 
     cp_r = pltpu.make_async_copy(
-        xr_hbm.at[pl.ds(row, TC), pl.ds(col, Wp)], xr_s, sems.at[0])
+        xr_hbm.at[pl.ds(row, TC), pl.ds(col, xr_s.shape[-1])], xr_s,
+        sems.at[0])
     cp_i = pltpu.make_async_copy(
-        xi_hbm.at[pl.ds(row, TC), pl.ds(col, Wp)], xi_s, sems.at[1])
+        xi_hbm.at[pl.ds(row, TC), pl.ds(col, xi_s.shape[-1])], xi_s,
+        sems.at[1])
     cp_r.start()
     cp_i.start()
-    if gained:
+    if gained and nb is None:
         GWp = g_s.shape[-1]
         cp_g = pltpu.make_async_copy(
             gw_hbm.at[pl.ds(row, TC), pl.ds(ti * GWp, GWp)], g_s,
@@ -60,6 +174,11 @@ def _fused_kernel(word_ref, phase_ref, xr_hbm, xi_hbm, M_ref, *rest,
         cp_g.wait()
     cp_r.wait()
     cp_i.wait()
+
+    if nb is not None:
+        _nb_detect_in_kernel(nb, ti, col, TC, xr_s, xi_s, g_s, S_s, X_s,
+                             gh_ref, on_ref, lim_ref, G16_ref, Sel_ref,
+                             go_ref)
 
     # NCO mix IN PLACE, in lane chunks: a whole-window formulation needs
     # ~7 live [TC, Wp] temporaries (iota, phase, angle, cos, sin, mixed
@@ -72,7 +191,9 @@ def _fused_kernel(word_ref, phase_ref, xr_hbm, xi_hbm, M_ref, *rest,
     # mod-2^32 arithmetic, and the angle scale maps 2^32 -> 2pi, so the
     # signed interpretation only shifts angles by multiples of 2pi
     # (Mosaic cannot cast uint32->f32).
-    CH = 1024
+    # (nb mode halves the chunk: the detection scratch + window halos
+    # leave less headroom for the mix-loop temporaries)
+    CH = 512 if nb is not None else 1024
     for c0 in range(0, Wp, CH):
         ch = min(CH, Wp - c0)        # tail chunk (Wp is only 128-aligned)
         n = (jax.lax.broadcasted_iota(jnp.int32, (TC, ch), 1)
@@ -81,9 +202,9 @@ def _fused_kernel(word_ref, phase_ref, xr_hbm, xi_hbm, M_ref, *rest,
         ang = ph.astype(jnp.float32) * _TWO_PI_OVER_2_32
         c = jnp.cos(ang)
         sn = jnp.sin(ang)
-        a = xr_s[:, c0:c0 + ch]
-        b = xi_s[:, c0:c0 + ch]
-        if gained:
+        a = xr_s[:, LB + c0:LB + c0 + ch]
+        b = xi_s[:, LB + c0:LB + c0 + ch]
+        if gained or nb is not None:
             # noise-blanker gain on the 16:1 coarse grid, upsampled by a
             # constant 2-diagonal linear-interp matrix on the MXU; rows
             # beyond the tail chunk's group span are zero in U, so the
@@ -95,14 +216,14 @@ def _fused_kernel(word_ref, phase_ref, xr_hbm, xi_hbm, M_ref, *rest,
             a = a * g
             b = b * g
         # mix down: x * conj(e^{j ang})
-        xr_s[:, c0:c0 + ch] = a * c + b * sn
-        xi_s[:, c0:c0 + ch] = b * c - a * sn
+        xr_s[:, LB + c0:LB + c0 + ch] = a * c + b * sn
+        xi_s[:, LB + c0:LB + c0 + ch] = b * c - a * sn
     tr = xr_s
     tiq = xi_s
 
     M = M_ref[:]
     for j in range(TN):
-        a = j * R * s
+        a = LB + j * R * s
         pr = tr[:, a: a + K]
         pi = tiq[:, a: a + K]
         # Mosaic's default MXU dot truncates f32 inputs to bf16 (measured
@@ -124,22 +245,30 @@ def _fused_kernel(word_ref, phase_ref, xr_hbm, xi_hbm, M_ref, *rest,
 
 @functools.partial(jax.jit,
                    static_argnames=("W", "K", "R", "TN", "s", "TC",
-                                    "interpret"))
-def _fused_call(word2d, phase2d, xr, xi, M, gwin=None, U=None, *,
-                W, K, R, TN, s, TC, interpret=False):
+                                    "nb", "interpret"))
+def _fused_call(word2d, phase2d, xr, xi, M, gwin=None, U=None,
+                ghist=None, on=None, limit=None, *,
+                W, K, R, TN, s, TC, nb=None, interpret=False):
     C, L = xr.shape
     N = (L - (K - R * s)) // s            # outputs: (L - (T-1)) / s
     grid = (C // TC, N // (R * TN))
     # Mosaic DMA slices must be 128-lane aligned: round the window up and
     # pad the input so every tile's padded window is in bounds
     Wp = -(-W // 128) * 128
-    pad = (grid[1] - 1) * (R * s * TN) + Wp - L
+    Wtot = Wp + ((nb.LB + nb.LA) if nb is not None else 0)
+    if nb is not None:
+        # front halo: pad LB zeros ahead so the DMA start stays `col`
+        # (128-aligned) while reaching LB samples back
+        xr = jnp.pad(xr, ((0, 0), (nb.LB, 0)))
+        xi = jnp.pad(xi, ((0, 0), (nb.LB, 0)))
+        L += nb.LB
+    pad = (grid[1] - 1) * (R * s * TN) + Wtot - L
     if pad > 0:
         xr = jnp.pad(xr, ((0, 0), (0, pad)))
         xi = jnp.pad(xi, ((0, 0), (0, pad)))
     gained = gwin is not None
     kern = functools.partial(_fused_kernel, W=W, K=K, R=R, TN=TN, s=s,
-                             TC=TC, gained=gained)
+                             TC=TC, gained=gained, nb=nb)
     in_specs = [
         pl.BlockSpec((TC, 1), lambda ci, ti: (ci, 0),
                      memory_space=pltpu.VMEM),      # word
@@ -151,11 +280,54 @@ def _fused_call(word2d, phase2d, xr, xi, M, gwin=None, U=None, *,
                      memory_space=pltpu.VMEM),      # M
     ]
     scratch = [
-        pltpu.VMEM((TC, Wp), jnp.float32),
-        pltpu.VMEM((TC, Wp), jnp.float32),
+        pltpu.VMEM((TC, Wtot), jnp.float32),
+        pltpu.VMEM((TC, Wtot), jnp.float32),
     ]
     operands = [word2d, phase2d, xr, xi, M]
-    if gained:
+    out_specs = [
+        pl.BlockSpec((TC, R * TN), lambda ci, ti: (ci, ti),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TC, R * TN), lambda ci, ti: (ci, ti),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((C, N), jnp.float32),
+        jax.ShapeDtypeStruct((C, N), jnp.float32),
+    ]
+    if nb is not None:
+        # one-hot group-sum matrix and every-16th-lane selection matrix
+        # for the in-kernel coarse stats (compile-time constants)
+        G16 = np.zeros((512, 32), np.float32)
+        for j in range(512):
+            G16[j, j // 16] = 1.0
+        Sel = np.zeros((512, 32), np.float32)
+        for g in range(32):
+            Sel[16 * g, g] = 1.0
+        in_specs += [
+            pl.BlockSpec((TC, nb.GWp), lambda ci, ti: (ci, 0),
+                         memory_space=pltpu.VMEM),   # history gain
+            pl.BlockSpec((U.shape[0], U.shape[1]), lambda ci, ti: (0, 0),
+                         memory_space=pltpu.VMEM),   # interp matrix
+            pl.BlockSpec((TC, 1), lambda ci, ti: (ci, 0),
+                         memory_space=pltpu.VMEM),   # nb toggle
+            pl.BlockSpec((1, 1), lambda ci, ti: (0, 0),
+                         memory_space=pltpu.SMEM),   # nb limit
+            pl.BlockSpec((512, 32), lambda ci, ti: (0, 0),
+                         memory_space=pltpu.VMEM),   # G16
+            pl.BlockSpec((512, 32), lambda ci, ti: (0, 0),
+                         memory_space=pltpu.VMEM),   # Sel
+        ]
+        operands += [ghist, U, on, jnp.reshape(limit, (1, 1)),
+                     jnp.asarray(G16), jnp.asarray(Sel)]
+        out_specs.append(
+            pl.BlockSpec((TC, nb.GoutP), lambda ci, ti: (ci, ti),
+                         memory_space=pltpu.VMEM))   # coarse gain out
+        out_shape.append(
+            jax.ShapeDtypeStruct((C, grid[1] * nb.GoutP), jnp.float32))
+        scratch += [pltpu.VMEM((TC, nb.GWp), jnp.float32),   # gain slab
+                    pltpu.VMEM((TC, nb.Gp), jnp.float32),    # S
+                    pltpu.VMEM((TC, nb.Gp), jnp.float32)]    # X
+    elif gained:
         GWp = gwin.shape[-1] // grid[1]
         in_specs += [
             pl.BlockSpec(memory_space=pltpu.ANY),    # gwin (manual DMA)
@@ -164,25 +336,18 @@ def _fused_call(word2d, phase2d, xr, xi, M, gwin=None, U=None, *,
         ]
         scratch.append(pltpu.VMEM((TC, GWp), jnp.float32))
         operands += [gwin, U]
-    scratch.append(pltpu.SemaphoreType.DMA((3 if gained else 2,)))
-    yr, yi = pl.pallas_call(
+    scratch.append(pltpu.SemaphoreType.DMA(
+        (3 if (gained and nb is None) else 2,)))
+    outs = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((TC, R * TN), lambda ci, ti: (ci, ti),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TC, R * TN), lambda ci, ti: (ci, ti),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((C, N), jnp.float32),
-            jax.ShapeDtypeStruct((C, N), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
     )(*operands)
-    return yr, yi
+    return outs
 
 
 @struct.dataclass
@@ -212,11 +377,16 @@ class FusedTuneDecimate:
     R: int = struct.field(pytree_node=False)
     TN: int = struct.field(pytree_node=False)
     TC: int = struct.field(pytree_node=False)
+    nbspec: _NBSpec | None = struct.field(pytree_node=False, default=None)
 
     @classmethod
     def create(cls, taps, tune_hz, sample_rate: float, block: int,
                decim: int, channels: int, TN: int = 8, TC: int = 128,
-               with_gain: bool = False):
+               with_gain: bool = False, nb_detect: dict | None = None):
+        """``nb_detect={'avg_win': .., 'kwidth': ..}`` fuses the noise
+        blanker's DETECTION into the kernel as well (see _NBSpec); call
+        via :meth:`call_nb`.  ``with_gain`` keeps the older mode where a
+        host-computed coarse gain rides in as an input."""
         from quisk_tpu.ops.nco import freq_word
         taps = np.asarray(taps, np.float64)
         T = taps.shape[-1]
@@ -230,19 +400,76 @@ class FusedTuneDecimate:
         K_dot = R * decim + T - 1
         temps = 6 * TC * 1024 * 4
 
+        def nb_plan(tn):
+            """_NBSpec + extra VMEM bytes for the nb_detect mode at TN=tn."""
+            wp = -(-(R * decim * tn + T - 1) // 128) * 128
+            gwp = -(-(wp // 16 + 66) // 128) * 128
+            HC = (nb_detect["kwidth"] // 2) // 16
+            avg_win = nb_detect["avg_win"]
+            LB = -(-(16 * HC + avg_win + 16) // 128) * 128
+            LA = -(-(16 * HC + 48) // 128) * 128
+            base = LB + T - 1
+            j0 = base % 16
+            Gq = (LB + wp + LA - j0) // 16
+            off_u = (-(T - 1)) % 16
+            GH = (T - 1 + off_u) // 16
+            base16 = (base - j0) // 16
+            delta = base16 - GH
+            Gout = (R * decim * tn) // 16
+            GoutP = -(-Gout // 128) * 128
+            Gp = -(-max(Gq, delta + gwp, base16 + GoutP) // 128) * 128
+            KC = 2 * HC + 1
+            rc = tuple(float(v) for v in
+                       0.5 + 0.5 * np.cos(np.linspace(-np.pi, np.pi, KC)))
+            spec = _NBSpec(LB=LB, LA=LA, GH=GH, HC=HC,
+                           W4=avg_win // 16, avg_win=avg_win, j0=j0,
+                           Gq=Gq, Gp=Gp, delta=delta, base16=base16,
+                           GB=block // 16, GWp=gwp, Gout=Gout,
+                           GoutP=GoutP, rc=rc)
+            extra = ((LB + LA) * TC * 8          # window halos
+                     + gwp * TC * 4              # gain slab
+                     + 2 * Gp * TC * 4           # S/X stats
+                     + 2 * 512 * 32 * 4          # G16/Sel
+                     + gwp * TC * 4 + 66 * 1024 * 4    # ghist + U
+                     - 3 * TC * 512 * 4)         # mix chunk halved (CH=512)
+            return spec, extra
+
         def gain_vmem(tn):
+            if nb_detect is not None:
+                return nb_plan(tn)[1]
             if not with_gain:
                 return 0
             wp = -(-(R * decim * tn + T - 1) // 128) * 128
             gwp = -(-(wp // 16 + 66) // 128) * 128
             return gwp * TC * 4 + 66 * 1024 * 4
+        # nb_detect budget is tighter: Mosaic's own scoped-VMEM accounting
+        # ran ~30% above this model at the flagship depth (measured: model
+        # 13.2M -> compiler 17.09M at TN=2), so leave real headroom
+        budget = (11 << 20) if nb_detect is not None else (14 << 20)
         while TN > 1 and (N % (R * TN)
                           or ((R * decim * TN + T - 1) * TC * 8
                               + K_dot * R * 4 + temps
-                              + gain_vmem(TN)) > (14 << 20)):
+                              + gain_vmem(TN)) > budget):
             TN //= 2
         if channels % TC or N % (R * TN):
             raise ValueError("needs C % 128 == 0 and (block/decim) % 128 == 0")
+        nbspec = None
+        if nb_detect is not None:
+            if nb_detect["avg_win"] % 16:
+                raise ValueError("nb_detect needs avg_win % 16 == 0")
+            nbspec, _ = nb_plan(TN)
+            wp = -(-(R * decim * TN + T - 1) // 128) * 128
+            # stats must cover every group the gain slab / gout read,
+            # plus the widening halo (construction guarantees it; guard
+            # against planner drift)
+            # real (used) groups need valid stats incl. the widening halo;
+            # the GoutP lane padding only needs DEFINED values (Gp covers
+            # it; zero-stats there give gain 1 and the host slices it off)
+            need = max(nbspec.delta + wp // 16 + 2,
+                       nbspec.base16 + nbspec.Gout) + nbspec.HC
+            if need > nbspec.Gq:
+                raise AssertionError(
+                    f"nb_detect halo too small: need {need} > Gq {nbspec.Gq}")
         K = R * decim + T - 1
         h_rev = taps[::-1]
         M = np.zeros((K, R), np.float32)
@@ -251,7 +478,7 @@ class FusedTuneDecimate:
         w = freq_word(np.broadcast_to(np.atleast_1d(tune_hz), (channels,)),
                       sample_rate)
         U = None
-        if with_gain:
+        if with_gain or nb_detect is not None:
             # ext sample e sits at offset (e+off) % 16 of coarse group
             # (e+off)//16, where off re-aligns the T-1 history samples
             # onto the stream's 16-grid; linear interp between group g
@@ -264,7 +491,7 @@ class FusedTuneDecimate:
                 Um[gg + 1, j] += p / 16.0
             U = jnp.asarray(Um)
         return cls(M=jnp.asarray(M), word=w, U=U, ntaps=T, block=block,
-                   decim=decim, R=R, TN=TN, TC=TC)
+                   decim=decim, R=R, TN=TN, TC=TC, nbspec=nbspec)
 
     @property
     def gain_off(self) -> int:
@@ -326,6 +553,45 @@ class FusedTuneDecimate:
         new_hist = ext[:, ext.shape[-1] - (self.ntaps - 1):]
         new_phase = phase0 + self.word * jnp.uint32(self.block)
         return (new_phase, new_hist), jax.lax.complex(yr, yi)
+
+    def call_nb(self, state, x: jnp.ndarray, hist_gain: jnp.ndarray,
+                on: jnp.ndarray, limit):
+        """Fused-NB-detection step (create(nb_detect=...)): the blanker
+        gain is computed in-kernel from the raw window (one HBM read
+        total).  ``hist_gain`` [C, GH] is the carried coarse gain of the
+        T-1 history samples, ``on`` [C, 1] the stage toggle, ``limit``
+        the detection threshold (data).  Returns
+        ``(new_state, y, gain [C, B/16])`` — carry ``gain[:, -GH:]``."""
+        if self.nbspec is None:
+            raise ValueError("create(nb_detect=...) required")
+        nb = self.nbspec
+        phase0, hist = state
+        ext = jnp.concatenate([hist, x], axis=-1)
+        xr = jnp.real(ext).astype(jnp.float32)
+        xi = jnp.imag(ext).astype(jnp.float32)
+        K = self.R * self.decim + self.ntaps - 1
+        W = self.R * self.decim * self.TN + self.ntaps - 1
+        word_i32 = jax.lax.bitcast_convert_type(self.word, jnp.int32)
+        phase_i32 = jax.lax.bitcast_convert_type(phase0, jnp.int32)
+        C = x.shape[0]
+        if hist_gain.shape[-1] != nb.GH:
+            raise ValueError(f"hist_gain wants {nb.GH} groups, "
+                             f"got {hist_gain.shape[-1]}")
+        gh = jnp.pad(hist_gain.astype(jnp.float32),
+                     ((0, 0), (0, nb.GWp - nb.GH)))
+        yr, yi, gout = _fused_call(
+            word_i32[:, None], phase_i32[:, None], xr, xi, self.M,
+            None, self.U, gh, on.astype(jnp.float32),
+            jnp.float32(limit),
+            W=W, K=K, R=self.R, TN=self.TN, s=self.decim, TC=self.TC,
+            nb=nb, interpret=jax.default_backend() != "tpu")
+        new_hist = ext[:, ext.shape[-1] - (self.ntaps - 1):]
+        new_phase = phase0 + self.word * jnp.uint32(self.block)
+        if nb.GoutP != nb.Gout:        # drop the per-tile lane padding
+            gout = gout.reshape(C, -1, nb.GoutP)[:, :, :nb.Gout]
+            gout = gout.reshape(C, -1)
+        return ((new_phase, new_hist), jax.lax.complex(yr, yi),
+                gout[:, :x.shape[-1] // 16])
 
     # NumPy reference for conformance tests (tune-then-filter semantics)
     def reference(self, state, x: np.ndarray):
