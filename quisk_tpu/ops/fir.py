@@ -143,15 +143,18 @@ def _conv_valid(x: jnp.ndarray, taps: jnp.ndarray, stride: int) -> jnp.ndarray:
         return jax.lax.complex(out[:, 0, :], out[:, 1, :])
     hr = jnp.asarray(h, dtype=jnp.float32)[None, None, :]    # [1, 1, T]
     if complex_in:
-        xr = jnp.real(x).astype(jnp.float32)
-        xi = jnp.imag(x).astype(jnp.float32)
-        lhs = jnp.concatenate([xr, xi], axis=0)[:, None, :]  # [2C, 1, L]
+        # I/Q as a channel-major reshape [C, 2, L] -> [2C, 1, L] (index =
+        # c*2 + iq): a [re-block; im-block] axis-0 concat forces an
+        # all-gather on a channel-sharded mesh, a major-dim merge doesn't
+        c = x.shape[0]
+        lhs = jnp.stack([jnp.real(x), jnp.imag(x)],
+                        axis=1).astype(jnp.float32).reshape(2 * c, 1, -1)
         out = jax.lax.conv_general_dilated(
             lhs, hr, window_strides=(stride,), padding="VALID",
             dimension_numbers=("NCH", "OIH", "NCH"),
             precision=jax.lax.Precision.HIGHEST)[:, 0, :]
-        c = x.shape[0]
-        return jax.lax.complex(out[:c], out[c:])
+        out = out.reshape(c, 2, -1)
+        return jax.lax.complex(out[:, 0], out[:, 1])
     out = jax.lax.conv_general_dilated(
         x.astype(jnp.float32)[:, None, :], hr, window_strides=(stride,),
         padding="VALID", dimension_numbers=("NCH", "OIH", "NCH"),
@@ -268,15 +271,20 @@ class MatmulFIR:
         # selects a multi-pass f32 emulation tier (see ops/precision.py)
         from quisk_tpu.ops import precision as _prec
         if jnp.iscomplexobj(xe):
-            lhs = jnp.concatenate(
-                [jnp.real(xe), jnp.imag(xe)], axis=0).astype(jnp.float32)
-            patches = lhs[:, idx]                        # [2C, nblk, K]
+            # I/Q rides on a NEW axis-1 (channel-major), never as a
+            # concat along axis 0: concatenating the sharded channel dim
+            # forces GSPMD to all-gather the whole block on a channel
+            # mesh (r4 finding: 18 all-gathers in the "no-collectives"
+            # sharded step came from these [2C] stacks)
+            lhs = jnp.stack(
+                [jnp.real(xe), jnp.imag(xe)], axis=1).astype(jnp.float32)
+            patches = lhs[:, :, idx]                     # [C, 2, nblk, K]
             y = jax.lax.dot_general(
-                patches, self.M, (((2,), (0,)), ((), ())),
+                patches, self.M, (((3,), (0,)), ((), ())),
                 precision=_prec.DECIM_DOT,
-                preferred_element_type=jnp.float32)      # [2C, nblk, R]
-            y = y.reshape(2 * C, -1)
-            return new_hist, jax.lax.complex(y[:C], y[C:])
+                preferred_element_type=jnp.float32)      # [C, 2, nblk, R]
+            y = y.reshape(C, 2, -1)
+            return new_hist, jax.lax.complex(y[:, 0], y[:, 1])
         patches = xe.astype(jnp.float32)[:, idx]
         y = jax.lax.dot_general(
             patches, self.M, (((2,), (0,)), ((), ())),
@@ -352,22 +360,25 @@ class HalfbandFIR:
         n_out = self.block // 2
         R = self.R
         if jnp.iscomplexobj(xe):
-            lhs = jnp.concatenate(
-                [jnp.real(xe), jnp.imag(xe)], axis=0).astype(jnp.float32)
+            # I/Q on a channel-major axis-1, NOT a [2C] concat (which
+            # all-gathers on a channel mesh — see MatmulFIR.__call__)
+            lhs = jnp.stack(
+                [jnp.real(xe), jnp.imag(xe)], axis=1).astype(jnp.float32)
         else:
-            lhs = xe.astype(jnp.float32)
-        even = lhs[:, ::2]                               # e[p] = xe[2p]
-        odd = lhs[:, 1::2]                               # o[p] = xe[2p+1]
+            lhs = xe.astype(jnp.float32)[:, None, :]
+        even = lhs[..., ::2]                             # e[p] = xe[2p]
+        odd = lhs[..., 1::2]                             # o[p] = xe[2p+1]
         idx = (jnp.arange(n_out // R) * R)[:, None] + \
             jnp.arange(R + c - 1)[None, :]
-        patches = odd[:, idx]                            # [*, nblk, R+c-1]
+        patches = odd[:, :, idx]                         # [C, r, nblk, R+c-1]
         y = jax.lax.dot_general(
-            patches, self.Mg, (((2,), (0,)), ((), ())),
+            patches, self.Mg, (((3,), (0,)), ((), ())),
             precision=_prec.DECIM_DOT,
-            preferred_element_type=jnp.float32).reshape(lhs.shape[0], -1)
-        y = y + self.center * even[:, c // 2: c // 2 + n_out]
+            preferred_element_type=jnp.float32).reshape(C, lhs.shape[1], -1)
+        y = y + self.center * even[..., c // 2: c // 2 + n_out]
         if jnp.iscomplexobj(xe):
-            return new_hist, jax.lax.complex(y[:C], y[C:])
+            return new_hist, jax.lax.complex(y[:, 0], y[:, 1])
+        y = y[:, 0]
         return new_hist, y
 
 

@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from quisk_tpu.parallel.shard import make_mesh, shard_over_channels
+from quisk_tpu.parallel.shard import (make_mesh, make_sharded_step,
+                                      shard_over_channels)
 
 
 @dataclasses.dataclass
@@ -103,9 +104,9 @@ def measure_scaling(device_counts: Sequence[int] = (1, 2, 4, 8),
             jnp.zeros((C, chain.block_in), dtype=jnp.complex64),
             NamedSharding(mesh, P("chan", None)))
 
-        @jax.jit
-        def step(ch, st, xx):
-            return ch.step(st, xx)
+        # explicit shard_map: collective-free by construction (the plain
+        # GSPMD jit gathers every FFT's batch dim — see make_sharded_step)
+        step = make_sharded_step(chain, mesh, C)
 
         dt = _time_step(step, chain_s, state_s, x, iters, sync)
         sps = C * chain.block_in / dt

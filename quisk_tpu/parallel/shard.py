@@ -43,3 +43,35 @@ def shard_over_channels(tree, mesh: Mesh, channels: int, axis: str = "chan"):
     return jax.tree.map(
         lambda leaf, s: jax.device_put(leaf, NamedSharding(mesh, s)),
         tree, specs)
+
+
+def make_sharded_step(chain, mesh: Mesh, channels: int, axis: str = "chan"):
+    """The channel-sharded receive step as an explicit ``shard_map``.
+
+    GSPMD on the plain jitted step is NOT collective-free even though
+    channels are independent: XLA's SPMD partitioner all-gathers the
+    batch dim of every FFT (measured: the "no-collectives" step carried
+    18 all-gathers + 24 collective-permutes at 8 devices before the r4
+    fixes — [2C] re/im concats in ops/fir.py plus one gather per
+    fft/ifft, and the FFT gathers are a partitioner limitation that
+    cannot be fixed op-side).  Under shard_map each device runs the
+    entire per-channel chain on its local [C/n, ...] shard — zero
+    collectives by construction.
+
+    Returns ``step(chain_sharded, state_sharded, x_sharded)`` (jitted).
+    The chain object must be the one `channel_pspecs` describes.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    cspec = channel_pspecs(chain, channels, axis)
+    sspec = channel_pspecs(chain.init_state(), channels, axis)
+    xspec = P(axis, None)
+
+    def raw(ch, st, xx):
+        return ch.step(st, xx)
+
+    f = shard_map(raw, mesh=mesh,
+                  in_specs=(cspec, sspec, xspec),
+                  out_specs=(sspec, xspec),
+                  check_rep=False)
+    return jax.jit(f)
