@@ -11,6 +11,7 @@ works without the native build; tests assert both agree byte-for-byte.
 from __future__ import annotations
 
 import ctypes
+import os
 import pathlib
 
 import numpy as np
@@ -23,7 +24,10 @@ def _find_lib():
     if _LIB is not None:
         return _LIB
     here = pathlib.Path(__file__).resolve().parents[2] / "native"
-    cand = here / "libquisk_ingest.so"
+    # env override: point at an instrumented build (e.g. the ASAN .so
+    # used to chase heap corruption — see native/Makefile `asan` target)
+    env = os.environ.get("QUISK_INGEST_LIB")
+    cand = pathlib.Path(env) if env else here / "libquisk_ingest.so"
     if cand.exists():
         lib = ctypes.CDLL(str(cand))
         c_f32p = ctypes.POINTER(ctypes.c_float)
