@@ -115,3 +115,53 @@ class MatmulDFT:
     def __call__(self, v: jnp.ndarray) -> jnp.ndarray:
         yr, yi = self.apply_ri(jnp.real(v), jnp.imag(v))
         return jax.lax.complex(yr, yi)
+
+
+@struct.dataclass
+class MatmulRDFT:
+    """N-point real-input DFT pair (rfft/irfft) as plain MXU matmuls.
+
+    For the 512-pt STFTs (SpectralNR/SpectralNoiseBlanker/SSB squelch)
+    the transform is small enough that a single [N, N/2+1] matmul beats
+    the TPU's FFT unit despite ~20x the FLOPs (same rationale as
+    MatmulDFT; A/B in BENCH_DETAIL).  Forward returns (re, im) planes —
+    callers that only need |X|^2 never materialize a complex array.
+    """
+
+    fr: jnp.ndarray      # [N, F] cos(2 pi n k / N)
+    fi: jnp.ndarray      # [N, F] -sin(2 pi n k / N)
+    br: jnp.ndarray      # [F, N] inverse cos basis (c_k/N folded in)
+    bi: jnp.ndarray      # [F, N] inverse -sin basis
+    N: int = struct.field(pytree_node=False)
+    F: int = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, N: int):
+        F = N // 2 + 1
+        n = np.arange(N)[:, None]
+        k = np.arange(F)[None, :]
+        ang = 2.0 * np.pi * n * k / N
+        # inverse: y[n] = 1/N sum_k c_k (Yr cos - Yi sin), c = 2 except
+        # the DC and Nyquist bins (Hermitian fold of the full spectrum)
+        c = np.full(F, 2.0)
+        c[0] = 1.0
+        if N % 2 == 0:
+            c[-1] = 1.0
+        return cls(fr=jnp.asarray(np.cos(ang), jnp.float32),
+                   fi=jnp.asarray(-np.sin(ang), jnp.float32),
+                   br=jnp.asarray((c[:, None] / N) * np.cos(ang.T),
+                                  jnp.float32),
+                   bi=jnp.asarray(-(c[:, None] / N) * np.sin(ang.T),
+                                  jnp.float32),
+                   N=N, F=F)
+
+    def rfft_ri(self, x: jnp.ndarray):
+        """x [..., N] real -> (Xr, Xi) [..., F]."""
+        Xr = jnp.einsum("...n,nk->...k", x, self.fr, precision=_HI)
+        Xi = jnp.einsum("...n,nk->...k", x, self.fi, precision=_HI)
+        return Xr, Xi
+
+    def irfft_ri(self, Yr: jnp.ndarray, Yi: jnp.ndarray) -> jnp.ndarray:
+        """(Yr, Yi) [..., F] -> y [..., N] real (matches np.fft.irfft)."""
+        return (jnp.einsum("...k,kn->...n", Yr, self.br, precision=_HI)
+                + jnp.einsum("...k,kn->...n", Yi, self.bi, precision=_HI))

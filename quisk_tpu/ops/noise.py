@@ -17,6 +17,8 @@ reuses the overlap-save machinery.
 
 from __future__ import annotations
 
+from typing import Any
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -219,14 +221,22 @@ class SpectralNoiseBlanker:
     block: int = struct.field(pytree_node=False)
     k_detect: float = struct.field(pytree_node=False)
     bg_rate: float = struct.field(pytree_node=False)
+    #: optional MXU matmul rfft/irfft (ops/mxdft.MatmulRDFT)
+    rdft: Any = None
 
     @classmethod
     def create(cls, block: int, fft: int = 256, k_detect: float = 8.0,
+               mxu_dft: bool = False,
                bg_rate: float = 0.05):
         if block % (fft // 2):
             raise ValueError("block must be a multiple of fft/2")
+        rdft = None
+        if mxu_dft:
+            from quisk_tpu.ops.mxdft import MatmulRDFT
+            rdft = MatmulRDFT.create(fft)
         w = np.sqrt(np.hanning(fft + 1)[:fft])
-        return cls(window=jnp.asarray(w, jnp.float32), fft=fft, block=block,
+        return cls(window=jnp.asarray(w, jnp.float32), rdft=rdft,
+                   fft=fft, block=block,
                    k_detect=float(k_detect), bg_rate=float(bg_rate))
 
     def init_state(self, channels: int):
@@ -252,8 +262,12 @@ class SpectralNoiseBlanker:
         tiles = ext.reshape(C, nfrm + 1, H)
         frames = jnp.concatenate([tiles[:, :-1], tiles[:, 1:]],
                                  axis=-1) * self.window
-        X = jnp.fft.rfft(frames, axis=-1)
-        pw = jnp.mean(jnp.abs(X) ** 2, axis=-1)       # [C, nfrm]
+        if self.rdft is not None:
+            Xre, Xim = self.rdft.rfft_ri(frames)
+        else:
+            X = jnp.fft.rfft(frames, axis=-1)
+            Xre, Xim = jnp.real(X), jnp.imag(X)
+        pw = jnp.mean(Xre * Xre + Xim * Xim, axis=-1)  # [C, nfrm]
 
         def frame_step(carry, p):
             bg = carry
@@ -289,10 +303,15 @@ class SpectralNoiseBlanker:
 
         (clean_re, clean_im), (yre, yim) = unrolled_scan(
             subst_step, (clean_re, clean_im),
-            (jnp.moveaxis(jnp.real(X), 1, 0), jnp.moveaxis(jnp.imag(X), 1, 0),
+            (jnp.moveaxis(Xre, 1, 0), jnp.moveaxis(Xim, 1, 0),
              jnp.moveaxis(dil, 1, 0)))
-        Y = jax.lax.complex(jnp.moveaxis(yre, 0, 1), jnp.moveaxis(yim, 0, 1))
-        y = jnp.fft.irfft(Y, n=self.fft, axis=-1) * self.window
+        yre = jnp.moveaxis(yre, 0, 1)
+        yim = jnp.moveaxis(yim, 0, 1)
+        if self.rdft is not None:
+            y = self.rdft.irfft_ri(yre, yim) * self.window
+        else:
+            Y = jax.lax.complex(yre, yim)
+            y = jnp.fft.irfft(Y, n=self.fft, axis=-1) * self.window
         # overlap-add via shifted half-frame views (no scatter): output
         # tile t = first half of frame t + second half of frame t-1
         out_tiles = (jnp.pad(y[:, :, :H], ((0, 0), (0, 1), (0, 0)))

@@ -17,6 +17,8 @@ Parity targets in WDSP (SURVEY.md §2.2):
 
 from __future__ import annotations
 
+from typing import Any
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -70,14 +72,21 @@ class SpectralNR:
     noise_up: float = struct.field(pytree_node=False)   # noise PSD rise rate
     noise_down: float = struct.field(pytree_node=False)
     gain_floor: float = struct.field(pytree_node=False)
+    #: optional MXU matmul rfft/irfft pair (ops/mxdft.MatmulRDFT) —
+    #: the TPU FFT unit is the documented slow path (CLAUDE.md)
+    rdft: Any = None
 
     @classmethod
     def create(cls, block: int, fft: int = 512, alpha: float = 0.98,
-               gain_floor_db: float = -18.0):
+               gain_floor_db: float = -18.0, mxu_dft: bool = False):
         if block % (fft // 2):
             raise ValueError("block must be a multiple of fft/2")
+        rdft = None
+        if mxu_dft:
+            from quisk_tpu.ops.mxdft import MatmulRDFT
+            rdft = MatmulRDFT.create(fft)
         w = np.sqrt(np.hanning(fft + 1)[:fft])
-        return cls(window=jnp.asarray(w, jnp.float32),
+        return cls(window=jnp.asarray(w, jnp.float32), rdft=rdft,
                    fft=fft, block=block, alpha=alpha,
                    # quantile tracker on the time-smoothed PSD: equilibrium
                    # where p_below*ln(down) + p_above*ln(up) = 0 puts the
@@ -123,8 +132,12 @@ class SpectralNR:
         tiles = ext.reshape(C, nfrm + 1, H)
         frames = jnp.concatenate([tiles[:, :-1], tiles[:, 1:]],
                                  axis=-1) * self.window   # [C, nfrm, fft]
-        X = jnp.fft.rfft(frames, axis=-1)
-        S2 = jnp.abs(X) ** 2
+        if self.rdft is not None:
+            Xr, Xi = self.rdft.rfft_ri(frames)
+            S2 = Xr * Xr + Xi * Xi
+        else:
+            X = jnp.fft.rfft(frames, axis=-1)
+            S2 = jnp.abs(X) ** 2
 
         # sequential per-frame noise tracking + gain (scan over frames)
         def frame_step(carry, xs):
@@ -144,8 +157,11 @@ class SpectralNR:
             jnp.moveaxis(S2, 1, 0), unroll=8)
         gains = jnp.moveaxis(gains, 0, 1)                 # [C, nfrm, F]
 
-        Y = X * gains.astype(X.dtype)
-        y = jnp.fft.irfft(Y, n=self.fft, axis=-1) * self.window
+        if self.rdft is not None:
+            y = self.rdft.irfft_ri(Xr * gains, Xi * gains) * self.window
+        else:
+            Y = X * gains.astype(X.dtype)
+            y = jnp.fft.irfft(Y, n=self.fft, axis=-1) * self.window
 
         # overlap-add via shifted half-frame views (no scatter): output
         # tile t = first half of frame t + second half of frame t-1

@@ -90,6 +90,10 @@ class RxChainConfig:
     fm_squelch: bool = False             # RF-level squelch (quisk.c:2076)
     fm_squelch_db: float = -60.0
     ext_demod: str | None = None         # registered custom demod for EXT
+    # STFT ops (NR2) run their 512-pt rfft/irfft as MXU matmuls instead
+    # of the TPU FFT unit (ops/mxdft.MatmulRDFT; A/B at featured shapes:
+    # NR2 1.54 -> 1.05 ms/block).  Exact to ~1e-5 relative.
+    mxu_stft: bool = True
     # fuse NCO mix + first decimation stage into one Pallas kernel
     # (needs channels % 128 == 0 and a real-tap decim-2+ first stage)
     fused_frontend: bool = False
@@ -256,7 +260,7 @@ class RxChain:
         nr = None
         if config.nr:
             from quisk_tpu.ops.nr import SpectralNR
-            nr = SpectralNR.create(B_audio)
+            nr = SpectralNR.create(B_audio, mxu_dft=config.mxu_stft)
         anf = None
         if config.anf:
             from quisk_tpu.ops.nr import BlockLMS

@@ -52,3 +52,43 @@ def test_pfb_mxu_dft_matches_fft_path(cls, rng):
         err = np.max(np.abs(np.asarray(y1) - np.asarray(y2)))
         scale = max(1e-9, float(np.max(np.abs(np.asarray(y1)))))
         assert err / scale < 2e-5, (cls.__name__, k, err / scale)
+
+
+@pytest.mark.parametrize("N", [64, 256, 512])
+def test_matmul_rdft_matches_numpy(N, rng):
+    from quisk_tpu.ops.mxdft import MatmulRDFT
+
+    x = rng.standard_normal((3, 7, N)).astype(np.float32)
+    d = MatmulRDFT.create(N)
+    Xr, Xi = jax.jit(lambda dd, xx: dd.rfft_ri(xx))(d, jnp.asarray(x))
+    ref = np.fft.rfft(x, axis=-1)
+    err = np.max(np.abs((np.asarray(Xr) + 1j * np.asarray(Xi)) - ref))
+    assert err / np.max(np.abs(ref)) < 2e-6
+    y = jax.jit(lambda dd, a, b: dd.irfft_ri(a, b))(d, Xr, Xi)
+    err2 = np.max(np.abs(np.asarray(y) - x))
+    assert err2 < 2e-5
+
+
+@pytest.mark.parametrize("which", ["nr", "snb"])
+def test_stft_ops_mxu_dft_matches_fft_path(which, rng):
+    from quisk_tpu.ops.noise import SpectralNoiseBlanker
+    from quisk_tpu.ops.nr import SpectralNR
+
+    C, B = 4, 2048
+    if which == "nr":
+        a = SpectralNR.create(B)
+        b = SpectralNR.create(B, mxu_dft=True)
+    else:
+        a = SpectralNoiseBlanker.create(B)
+        b = SpectralNoiseBlanker.create(B, mxu_dft=True)
+    x = rng.standard_normal((C, 4 * B)).astype(np.float32)
+    x[1, 3000:3004] += 25.0                   # an impulse for the SNB
+    sa, sb = a.init_state(C), b.init_state(C)
+    step = jax.jit(lambda op, s, xx: op(s, xx))
+    for k in range(4):
+        xb = jnp.asarray(x[:, k * B:(k + 1) * B])
+        sa, ya = step(a, sa, xb)
+        sb, yb = step(b, sb, xb)
+        err = float(jnp.max(jnp.abs(ya - yb)))
+        scale = max(1e-9, float(jnp.max(jnp.abs(ya))))
+        assert err / scale < 5e-5, (which, k, err / scale)
