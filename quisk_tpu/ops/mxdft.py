@@ -116,6 +116,35 @@ class MatmulDFT:
         yr, yi = self.apply_ri(jnp.real(v), jnp.imag(v))
         return jax.lax.complex(yr, yi)
 
+    def apply_real(self, x: jnp.ndarray):
+        """Real input [..., K] -> full K-bin (re, im) planes.  Stage 1
+        needs only two real matmuls (imag operand is zero)."""
+        lead = x.shape[:-1]
+        ar = x.reshape(*lead, self.K1, self.K2)
+        w1r, w1i, _ = self.w1
+        br = jnp.einsum("...nk,nc->...kc", ar, w1r, precision=_HI)
+        bi = jnp.einsum("...nk,nc->...kc", ar, w1i, precision=_HI)
+        twr, twi = self.tw
+        cr = br * twr - bi * twi
+        ci = br * twi + bi * twr
+        yr, yi = _cmatmul(cr, ci, self.w2, "...nc,nm->...mc")
+        return yr.reshape(*lead, self.K), yi.reshape(*lead, self.K)
+
+    def apply_ri_real_out(self, vr: jnp.ndarray, vi: jnp.ndarray):
+        """(re, im) planes in [..., K] -> REAL plane of the transform
+        only (two stage-2 matmuls instead of three)."""
+        lead = vr.shape[:-1]
+        ar = vr.reshape(*lead, self.K1, self.K2)
+        ai = vi.reshape(*lead, self.K1, self.K2)
+        br, bi = _cmatmul(ar, ai, self.w1, "...nk,nc->...kc")
+        twr, twi = self.tw
+        cr = br * twr - bi * twi
+        ci = br * twi + bi * twr
+        w2r, w2i, _ = self.w2
+        yr = (jnp.einsum("...nc,nm->...mc", cr, w2r, precision=_HI)
+              - jnp.einsum("...nc,nm->...mc", ci, w2i, precision=_HI))
+        return yr.reshape(*lead, self.K)
+
 
 @struct.dataclass
 class MatmulRDFT:
@@ -165,3 +194,48 @@ class MatmulRDFT:
         """(Yr, Yi) [..., F] -> y [..., N] real (matches np.fft.irfft)."""
         return (jnp.einsum("...k,kn->...n", Yr, self.br, precision=_HI)
                 + jnp.einsum("...k,kn->...n", Yi, self.bi, precision=_HI))
+
+
+@struct.dataclass
+class CTRDFT:
+    """rfft/irfft pair over the trailing axis via the two-stage
+    Cooley-Tukey MatmulDFT — for N (1024-4096+) where the single-stage
+    [N, N/2+1] basis of MatmulRDFT costs ~N/(K1+K2) times more MACs.
+
+    Forward runs the real-input full-K DFT and slices the half spectrum;
+    inverse Hermitian-extends the half spectrum and keeps only the real
+    output plane.  Matches np.fft.rfft/irfft ordering and scaling.
+    """
+
+    fwd: MatmulDFT
+    inv: MatmulDFT
+    N: int = struct.field(pytree_node=False)
+    F: int = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, N: int, split: tuple[int, int] | None = None):
+        if N % 2:
+            raise ValueError("CTRDFT needs even N")
+        return cls(fwd=MatmulDFT.create(N, inverse=False, split=split),
+                   inv=MatmulDFT.create(N, inverse=True, split=split),
+                   N=N, F=N // 2 + 1)
+
+    def rfft_ri(self, x: jnp.ndarray):
+        yr, yi = self.fwd.apply_real(x)
+        return yr[..., : self.F], yi[..., : self.F]
+
+    def irfft_ri(self, Yr: jnp.ndarray, Yi: jnp.ndarray) -> jnp.ndarray:
+        # Hermitian extension: bins N/2+1 .. N-1 = conj of bins N/2-1 .. 1
+        fr = jnp.concatenate([Yr, Yr[..., 1:-1][..., ::-1]], axis=-1)
+        fi = jnp.concatenate([Yi, -Yi[..., 1:-1][..., ::-1]], axis=-1)
+        return self.inv.apply_ri_real_out(fr, fi) * (1.0 / self.N)
+
+
+def make_rdft(N: int, ct_threshold: int = 1024):
+    """The winning rfft/irfft formulation for size N on this TPU:
+    single-stage MatmulRDFT below ``ct_threshold`` (contraction dim N
+    tiles the 128-lane MXU well and the basis fits VMEM), two-stage
+    Cooley-Tukey above it (A/B'd at 1024/4096 in BENCH_DETAIL)."""
+    if N < ct_threshold:
+        return MatmulRDFT.create(N)
+    return CTRDFT.create(N)

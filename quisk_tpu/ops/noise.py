@@ -341,10 +341,13 @@ class AutoNotch:
     ntaps: int = struct.field(pytree_node=False)
     ema: float = struct.field(pytree_node=False)
     snr_open: float = struct.field(pytree_node=False)
+    #: optional MXU matmul rfft/irfft (ops/mxdft; CT-factored at nfft)
+    rdft: Any = None
 
     @classmethod
     def create(cls, block: int, ntaps: int | None = None, n_notch: int = 2,
-               width_bins: int = 4, ema: float = 0.7, snr_open_db: float = 12.0):
+               width_bins: int = 4, ema: float = 0.7, snr_open_db: float = 12.0,
+               mxu_dft: bool = False):
         """``snr_open_db`` is the peak-over-median threshold that opens a
         notch.  Note the analysis window is the full overlap-save input
         [prev tail | block] (~2x the block): a coherent tone's peak grows
@@ -358,17 +361,32 @@ class AutoNotch:
             # runs at its FFT size too, quisk.c:910-949)
             ntaps = block + 1
         nfft = 1 << (block + ntaps - 1 - 1).bit_length()
+        rdft = None
+        if mxu_dft:
+            from quisk_tpu.ops.mxdft import make_rdft
+            rdft = make_rdft(nfft)
         w = np.hanning(ntaps)
         return cls(window=jnp.asarray(w, jnp.float32), depth_bins=width_bins,
                    n_notch=n_notch, block=block, nfft=nfft, ntaps=ntaps,
-                   ema=ema, snr_open=10 ** (snr_open_db / 10.0))
+                   ema=ema, snr_open=10 ** (snr_open_db / 10.0), rdft=rdft)
 
     def init_state(self, channels: int):
         return (jnp.zeros((channels, self.nfft // 2 + 1), jnp.float32),
                 jnp.zeros((channels, self.ntaps - 1), jnp.float32))
 
-    def _design_mask(self, spec: jnp.ndarray) -> jnp.ndarray:
-        """[C, nfft//2+1] complex rFFT response of the notch FIR.
+    def _rfft_ri(self, x: jnp.ndarray):
+        if self.rdft is not None:
+            return self.rdft.rfft_ri(x)
+        X = jnp.fft.rfft(x, n=self.nfft, axis=-1)
+        return jnp.real(X), jnp.imag(X)
+
+    def _irfft_ri(self, Yr: jnp.ndarray, Yi: jnp.ndarray) -> jnp.ndarray:
+        if self.rdft is not None:
+            return self.rdft.irfft_ri(Yr, Yi)
+        return jnp.fft.irfft(jax.lax.complex(Yr, Yi), n=self.nfft, axis=-1)
+
+    def _design_mask(self, spec: jnp.ndarray):
+        """[C, nfft//2+1] (re, im) rFFT response planes of the notch FIR.
 
         The audio is real, so design and application run entirely on the
         half spectrum (rfft/irfft — 2x cheaper than the full complex FFTs
@@ -380,35 +398,41 @@ class AutoNotch:
         med = jnp.median(spec[:, ::4], axis=-1, keepdims=True) + 1e-20
         mask = jnp.ones((C, F), jnp.float32)
         s = spec
+        f = jnp.arange(F)[None, :]
         for _ in range(self.n_notch):
             k = jnp.argmax(s, axis=-1)
             peaky = (jnp.take_along_axis(s, k[:, None], 1)[:, 0]
                      > self.snr_open * med[:, 0])
-            offs = jnp.arange(-self.depth_bins, self.depth_bins + 1)
-            idx = jnp.abs(k[:, None] + offs[None, :])      # reflect at DC
-            idx = jnp.where(idx > F - 1, 2 * (F - 1) - idx, idx)  # at Nyquist
-            hit = jnp.zeros((C, F), jnp.float32)
-            hit = hit.at[jnp.arange(C)[:, None], idx].set(1.0)
+            # bins within depth_bins of the peak, with reflection at DC
+            # (|f+k| <= w) and Nyquist (2(F-1)-f-k <= w) — pure broadcast
+            # comparisons; the scatter .at[].set this replaces was the
+            # design pass's dominant cost on TPU
+            kk = k[:, None]
+            w = self.depth_bins
+            hit = ((jnp.abs(f - kk) <= w) | (f + kk <= w)
+                   | (2 * (F - 1) - f - kk <= w)).astype(jnp.float32)
             hit = hit * peaky[:, None]
             mask = mask * (1.0 - hit)
             s = s * (1.0 - hit)
         # brick mask -> windowed FIR -> actual applied response
-        h = jnp.fft.irfft(mask.astype(jnp.complex64), n=self.nfft, axis=-1)
+        h = self._irfft_ri(mask, jnp.zeros_like(mask))
         h = jnp.roll(h, self.ntaps // 2, axis=-1)[:, : self.ntaps]
         h = h * self.window
-        return jnp.fft.rfft(h, n=self.nfft, axis=-1)
+        h = jnp.pad(h, ((0, 0), (0, self.nfft - self.ntaps)))
+        return self._rfft_ri(h)
 
     def __call__(self, state, a: jnp.ndarray):
         spec_ema, hist = state
         xe = jnp.concatenate([hist, a], axis=-1)
-        X = jnp.fft.rfft(xe, n=self.nfft, axis=-1)
+        Xr, Xi = self._rfft_ri(
+            jnp.pad(xe, ((0, 0), (0, self.nfft - xe.shape[-1]))))
         # the smoothed detection spectrum reuses the apply-pass FFT (one
         # rfft per block instead of two): xe spans [prev tail | block] of
         # the same stream, an equally good estimator of PERSISTENT tones,
         # which are all the notch designer looks for
-        spec_ema = self.ema * spec_ema + (1.0 - self.ema) * jnp.abs(X) ** 2
-        H = self._design_mask(spec_ema)
-        y = jnp.fft.irfft(X * H, n=self.nfft, axis=-1)
+        spec_ema = self.ema * spec_ema + (1.0 - self.ema) * (Xr * Xr + Xi * Xi)
+        Hr, Hi = self._design_mask(spec_ema)
+        y = self._irfft_ri(Xr * Hr - Xi * Hi, Xr * Hi + Xi * Hr)
         y = y[:, self.ntaps - 1: self.ntaps - 1 + self.block]
         # compensate the FIR group delay bookkeeping: output aligned to input
         new_hist = xe[:, xe.shape[-1] - (self.ntaps - 1):]

@@ -204,19 +204,25 @@ class BlockLMS:
     notch: bool = struct.field(pytree_node=False)
     leak: float = struct.field(pytree_node=False)
     fdaf: bool = struct.field(pytree_node=False, default=True)
+    #: optional MXU matmul rfft/irfft for the FDAF transforms
+    rdft: Any = None
 
     @classmethod
     def create(cls, block: int, taps: int = 256, delay: int = 16,
                mu: float = 2.0, notch: bool = True, leak: float = 1e-5,
-               sub: int = 512, fdaf: bool = True):
+               sub: int = 512, fdaf: bool = True, mxu_dft: bool = False):
         # larger sub-blocks average the NLMS gradient over more samples
         # (smoother adaptation — measured slightly DEEPER notches than
         # sub=128) and quarter the scan-iteration count; shrink to fit
         # small blocks
         while sub > 1 and block % sub:
             sub //= 2
+        rdft = None
+        if mxu_dft and fdaf:
+            from quisk_tpu.ops.mxdft import make_rdft
+            rdft = make_rdft(1 << (taps + sub - 2).bit_length())
         return cls(mu=jnp.float32(mu), taps=taps, delay=delay, block=block,
-                   sub=sub, notch=notch, leak=leak, fdaf=fdaf)
+                   sub=sub, notch=notch, leak=leak, fdaf=fdaf, rdft=rdft)
 
     def init_state(self, channels: int):
         hist = self.taps + self.delay - 1
@@ -276,18 +282,30 @@ class BlockLMS:
         N = 1 << (P - 1).bit_length()
         subs = a.reshape(C, nsub, self.sub)
 
+        def rfft_ri(x):
+            if self.rdft is not None:
+                return self.rdft.rfft_ri(
+                    jnp.pad(x, ((0, 0), (0, N - x.shape[-1]))))
+            X = jnp.fft.rfft(x, n=N, axis=-1)
+            return jnp.real(X), jnp.imag(X)
+
+        def irfft_ri(Yr, Yi):
+            if self.rdft is not None:
+                return self.rdft.irfft_ri(Yr, Yi)
+            return jnp.fft.irfft(jax.lax.complex(Yr, Yi), n=N, axis=-1)
+
         def step(carry, blk):
             w, tl = carry
             ext = jnp.concatenate([tl, blk], axis=-1)      # [C, hist+sub]
             s = ext[:, :P]                                  # u[n], delay kept
-            S = jnp.fft.rfft(s, n=N, axis=-1)
-            Wf = jnp.fft.rfft(w, n=N, axis=-1)
-            pred = jnp.fft.irfft(S * Wf, n=N, axis=-1)[
+            Sr, Si = rfft_ri(s)
+            Wr, Wi = rfft_ri(w)
+            pred = irfft_ri(Sr * Wr - Si * Wi, Sr * Wi + Si * Wr)[
                 :, self.taps - 1: self.taps - 1 + self.sub]
             err = blk - pred
-            E = jnp.fft.rfft(err, n=N, axis=-1)
+            Er, Ei = rfft_ri(err)
             # z[n] = sum_m s[m+n] err[m]  (linear: P-1 + sub-1 < N)
-            z = jnp.fft.irfft(S * jnp.conj(E), n=N, axis=-1)
+            z = irfft_ri(Sr * Er + Si * Ei, Si * Er - Sr * Ei)
             grad = z[:, : self.taps][:, ::-1] / self.sub
             power = self.taps * jnp.mean(ext ** 2, axis=-1) + 1e-8
             w = (1.0 - self.leak) * w + self.mu * grad / power[:, None]

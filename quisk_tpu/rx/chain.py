@@ -90,9 +90,10 @@ class RxChainConfig:
     fm_squelch: bool = False             # RF-level squelch (quisk.c:2076)
     fm_squelch_db: float = -60.0
     ext_demod: str | None = None         # registered custom demod for EXT
-    # STFT ops (NR2) run their 512-pt rfft/irfft as MXU matmuls instead
-    # of the TPU FFT unit (ops/mxdft.MatmulRDFT; A/B at featured shapes:
-    # NR2 1.54 -> 1.05 ms/block).  Exact to ~1e-5 relative.
+    # STFT/FDAF ops (NR2, auto-notch, ANF) run their rfft/irfft as MXU
+    # matmuls instead of the TPU FFT unit (ops/mxdft: single-stage below
+    # 1024 pts, Cooley-Tukey above; A/B at featured shapes: NR2
+    # 1.54 -> 1.05 ms/block, more in BENCH_DETAIL).  ~1e-5 relative.
     mxu_stft: bool = True
     # fuse NCO mix + first decimation stage into one Pallas kernel
     # (needs channels % 128 == 0 and a real-tap decim-2+ first stage)
@@ -256,7 +257,8 @@ class RxChain:
             from quisk_tpu.rx.frontend import FrontConditioner
             cond = FrontConditioner.create(C, config.sample_rate,
                                            dc_bw=config.dc_remove_bw)
-        notch = AutoNotch.create(B_audio) if config.auto_notch else None
+        notch = (AutoNotch.create(B_audio, mxu_dft=config.mxu_stft)
+                 if config.auto_notch else None)
         nr = None
         if config.nr:
             from quisk_tpu.ops.nr import SpectralNR
@@ -264,7 +266,8 @@ class RxChain:
         anf = None
         if config.anf:
             from quisk_tpu.ops.nr import BlockLMS
-            anf = BlockLMS.create(B_audio, notch=True)
+            anf = BlockLMS.create(B_audio, notch=True,
+                                  mxu_dft=config.mxu_stft)
         squelch = (SSBSquelch.create(plan.fs_out, B_audio,
                                      config.squelch_threshold)
                    if config.squelch else None)

@@ -69,20 +69,45 @@ def test_matmul_rdft_matches_numpy(N, rng):
     assert err2 < 2e-5
 
 
-@pytest.mark.parametrize("which", ["nr", "snb"])
+@pytest.mark.parametrize("N,split", [(1024, None), (4096, None),
+                                     (4096, (32, 128))])
+def test_ct_rdft_matches_numpy(N, split, rng):
+    from quisk_tpu.ops.mxdft import CTRDFT
+
+    x = rng.standard_normal((5, N)).astype(np.float32)
+    d = CTRDFT.create(N, split=split)
+    Xr, Xi = jax.jit(lambda dd, xx: dd.rfft_ri(xx))(d, jnp.asarray(x))
+    ref = np.fft.rfft(x, axis=-1)
+    err = np.max(np.abs((np.asarray(Xr) + 1j * np.asarray(Xi)) - ref))
+    assert err / np.max(np.abs(ref)) < 2e-6
+    y = jax.jit(lambda dd, a, b: dd.irfft_ri(a, b))(d, Xr, Xi)
+    err2 = np.max(np.abs(np.asarray(y) - x))
+    assert err2 < 5e-5
+
+
+@pytest.mark.parametrize("which", ["nr", "snb", "notch", "anf"])
 def test_stft_ops_mxu_dft_matches_fft_path(which, rng):
-    from quisk_tpu.ops.noise import SpectralNoiseBlanker
-    from quisk_tpu.ops.nr import SpectralNR
+    from quisk_tpu.ops.noise import AutoNotch, SpectralNoiseBlanker
+    from quisk_tpu.ops.nr import BlockLMS, SpectralNR
 
     C, B = 4, 2048
     if which == "nr":
         a = SpectralNR.create(B)
         b = SpectralNR.create(B, mxu_dft=True)
+    elif which == "notch":
+        a = AutoNotch.create(B)
+        b = AutoNotch.create(B, mxu_dft=True)
+    elif which == "anf":
+        a = BlockLMS.create(B, notch=True)
+        b = BlockLMS.create(B, notch=True, mxu_dft=True)
     else:
         a = SpectralNoiseBlanker.create(B)
         b = SpectralNoiseBlanker.create(B, mxu_dft=True)
     x = rng.standard_normal((C, 4 * B)).astype(np.float32)
     x[1, 3000:3004] += 25.0                   # an impulse for the SNB
+    # a persistent tone so the auto-notch/ANF actually engage
+    x += 2.0 * np.sin(2 * np.pi * 1500.0 / 48000.0
+                      * np.arange(4 * B)).astype(np.float32)
     sa, sb = a.init_state(C), b.init_state(C)
     step = jax.jit(lambda op, s, xx: op(s, xx))
     for k in range(4):
