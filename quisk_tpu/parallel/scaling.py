@@ -39,10 +39,18 @@ class ScalePoint:
     efficiency: float      # raw: throughput(n) / (n * throughput(1))
     eff_of_ideal: float    # efficiency / the mesh's ideal (see below)
     step_ms: float
+    #: relative spread of the timing samples (max-min)/median; with
+    #: iters=1 there is no spread estimate and this is NaN — the table
+    #: flags such points as smoke-only (not quotable)
+    noise_pct: float = float("nan")
 
 
-def _time_step(step, chain, state, x, iters: int, sync: Callable) -> float:
-    """Median wall time per step, honest sync per iteration."""
+def _time_step(step, chain, state, x, iters: int,
+               sync: Callable) -> tuple[float, float]:
+    """(median, relative spread) wall time per step, honest sync per
+    iteration.  The spread is the quotability guard: a loaded CI box
+    yields pure-noise efficiency points, and iters=1 cannot even
+    estimate it (returns NaN spread)."""
     state, audio = step(chain, state, x)      # warm up / compile
     sync(audio)
     times = []
@@ -51,7 +59,9 @@ def _time_step(step, chain, state, x, iters: int, sync: Callable) -> float:
         state, audio = step(chain, state, x)
         sync(audio)
         times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+    med = float(np.median(times))
+    spread = ((max(times) - min(times)) / med) if iters > 1 else float("nan")
+    return med, spread
 
 
 def measure_scaling(device_counts: Sequence[int] = (1, 2, 4, 8),
@@ -108,7 +118,7 @@ def measure_scaling(device_counts: Sequence[int] = (1, 2, 4, 8),
         # GSPMD jit gathers every FFT's batch dim — see make_sharded_step)
         step = make_sharded_step(chain, mesh, C)
 
-        dt = _time_step(step, chain_s, state_s, x, iters, sync)
+        dt, spread = _time_step(step, chain_s, state_s, x, iters, sync)
         sps = C * chain.block_in / dt
         if anchor is None:
             anchor = sps / n
@@ -116,7 +126,7 @@ def measure_scaling(device_counts: Sequence[int] = (1, 2, 4, 8),
         ideal = (1.0 / n) if shared_silicon else 1.0
         points.append(ScalePoint(devices=n, channels=C, samples_per_s=sps,
                                  efficiency=eff, eff_of_ideal=eff / ideal,
-                                 step_ms=dt * 1e3))
+                                 step_ms=dt * 1e3, noise_pct=spread))
     return points
 
 
@@ -160,8 +170,16 @@ def measure_timeshard(mesh, channels: int, n_samples: int,
 def format_table(points: Sequence[ScalePoint], title: str = "weak") -> str:
     lines = [f"scaling ({title}): devices  channels  Msps  "
              "eff(raw)  of-ideal  ms/step"]
+    shaky = False
     for p in points:
+        flag = ""
+        if not np.isfinite(p.noise_pct) or p.noise_pct > 0.25:
+            flag, shaky = "  *", True
         lines.append(f"  {p.devices:7d}  {p.channels:8d}  "
                      f"{p.samples_per_s / 1e6:8.1f}  {p.efficiency:8.2%}  "
-                     f"{p.eff_of_ideal:8.2%}  {p.step_ms:7.2f}")
+                     f"{p.eff_of_ideal:8.2%}  {p.step_ms:7.2f}{flag}")
+    if shaky:
+        lines.append("  * timing spread >25% or iters too few for a "
+                     "spread estimate — harness smoke only, NOT a "
+                     "quotable efficiency")
     return "\n".join(lines)
