@@ -766,6 +766,11 @@ def main():
         ing.append((f"metis 8 rx, paced 4x real-time "
                     f"({'zero' if ok else r['seq_errors']} seq errors)",
                     r["drained_msps"], r))
+        # the zero-loss CEILING, not just the 4x floor: binary-search the
+        # max paced rate that still drains clean (VERDICT r3 item 9)
+        sw = bench_ingest.sweep_zero_loss("metis", 8, block=16384)
+        ing.append(("metis 8 rx, max zero-loss paced (binary search)",
+                    sw["msps"], sw))
         lines += ["## Host ingest (native C++ pump: recvmmsg + parse + "
                   "lock-free rings; no TPU)", "",
                   "| stream | aggregate Msps (drained) |", "|---|---|"]

@@ -346,6 +346,13 @@ def _fused_call(word2d, phase2d, xr, xi, M, gwin=None, U=None,
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
+        # v5e has 128 MB VMEM; the default 16 MB scoped limit rejects
+        # multi-block programs where XLA parks the kernel's [C, N] f32
+        # output pair in VMEM (16.03 MB measured for the NFM /4 front at
+        # nblk>=4).  The TN chooser still budgets 11-14 MB for the
+        # kernel's OWN live set — the slack only covers XLA's
+        # output/operand placement around the call.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 << 20),
     )(*operands)
     return outs
 
