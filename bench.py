@@ -769,8 +769,9 @@ def main():
         # the zero-loss CEILING, not just the 4x floor: binary-search the
         # max paced rate that still drains clean (VERDICT r3 item 9)
         sw = bench_ingest.sweep_zero_loss("metis", 8, block=16384)
-        ing.append(("metis 8 rx, max zero-loss paced (binary search)",
-                    sw["msps"], sw))
+        ing.append((f"metis 8 rx, max zero-loss paced (binary search, "
+                    f"{sw['x_realtime']}x real-time)",
+                    sw["drained_msps"], sw))
         lines += ["## Host ingest (native C++ pump: recvmmsg + parse + "
                   "lock-free rings; no TPU)", "",
                   "| stream | aggregate Msps (drained) |", "|---|---|"]

@@ -389,11 +389,16 @@ class FusedTuneDecimate:
     @classmethod
     def create(cls, taps, tune_hz, sample_rate: float, block: int,
                decim: int, channels: int, TN: int = 8, TC: int = 128,
-               with_gain: bool = False, nb_detect: dict | None = None):
+               with_gain: bool = False, nb_detect: dict | None = None,
+               vmem_budget: int | None = None):
         """``nb_detect={'avg_win': .., 'kwidth': ..}`` fuses the noise
         blanker's DETECTION into the kernel as well (see _NBSpec); call
         via :meth:`call_nb`.  ``with_gain`` keeps the older mode where a
-        host-computed coarse gain rides in as an input."""
+        host-computed coarse gain rides in as an input.  ``vmem_budget``
+        overrides the TN chooser's model budget (bytes) — the pallas_call
+        runs with vmem_limit_bytes=48MB, so larger tiles than the
+        conservative defaults are admissible when measurement supports
+        them."""
         from quisk_tpu.ops.nco import freq_word
         taps = np.asarray(taps, np.float64)
         T = taps.shape[-1]
@@ -449,10 +454,16 @@ class FusedTuneDecimate:
             wp = -(-(R * decim * tn + T - 1) // 128) * 128
             gwp = -(-(wp // 16 + 66) // 128) * 128
             return gwp * TC * 4 + 66 * 1024 * 4
-        # nb_detect budget is tighter: Mosaic's own scoped-VMEM accounting
-        # ran ~30% above this model at the flagship depth (measured: model
-        # 13.2M -> compiler 17.09M at TN=2), so leave real headroom
-        budget = (11 << 20) if nb_detect is not None else (14 << 20)
+        # Mosaic's own scoped-VMEM accounting runs ~30% above this model
+        # (measured: model 13.2M -> compiler 17.09M at TN=2 with nb), and
+        # the pallas_call now runs with vmem_limit_bytes = 48 MB, so the
+        # nb budget admits TN=4 at the flagship depth — A/B'd whole-chain
+        # featured: TN=1 17.36 -> TN=4 15.46 ms/block (the window halo is
+        # (T-1)/(R*d*TN) extra DMA per tile on a DMA-bound kernel).  The
+        # plain budget stays at 14 MB: TN=2 vs 4/8 measured within noise
+        # without nb, and smaller tiles leave XLA more placement slack.
+        budget = vmem_budget if vmem_budget is not None else (
+            (28 << 20) if nb_detect is not None else (14 << 20))
         while TN > 1 and (N % (R * TN)
                           or ((R * decim * TN + T - 1) * TC * 8
                               + K_dot * R * 4 + temps
