@@ -189,3 +189,26 @@ def test_in_kernel_nb_detect_equals_host_detect():
     _, _, g_off = f_new.call_nb(st_new, xb, jnp.ones((C, GH)), off,
                                 nb.limit)
     assert float(jnp.min(g_off)) == 1.0
+
+
+def test_featured_front_fuses_whole_cascade_at_tn4():
+    """The 960k featured config must fuse the WHOLE /20 cascade with NB
+    detection at TN=4 (nb budget 28MB under the 48MB kernel vmem limit;
+    A/B'd whole-chain: TN=1 17.36 -> TN=4 15.46 ms/block).  Guards the
+    TN chooser model against regressions that silently shrink the tile
+    (more window-halo DMA on a DMA-bound kernel)."""
+    from quisk_tpu.modes import Mode
+    from quisk_tpu.rx import RxChain, RxChainConfig
+
+    cfg = RxChainConfig(sample_rate=960000.0, channels=1024,
+                        audio_block=2048, agc=True, fused_frontend=True,
+                        noise_blanker=2)
+    ch = RxChain.create(cfg, tune_hz=0.0, mode=int(Mode.USB))
+    assert ch.front is not None and ch.front.decim == 20
+    assert ch.front.nbspec is not None
+    assert ch.front.TN == 4, ch.front.TN
+    assert len(ch.stages) == 0          # nothing left unfused
+
+    cfg2 = cfg.__class__(**{**cfg.__dict__, "noise_blanker": 0})
+    ch2 = RxChain.create(cfg2, tune_hz=0.0, mode=int(Mode.USB))
+    assert ch2.front.TN == 2 and ch2.front.nbspec is None
