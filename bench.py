@@ -359,7 +359,7 @@ def bench_pfb(iters: int = 20, K: int = 4096, mult: int = 8192,
     reports the winner with both numbers attached."""
     from quisk_tpu.modes import Mode
     from quisk_tpu.ops.channelizer import OversampledPFB
-    from quisk_tpu.ops.demod import MixedDemod
+    from quisk_tpu.ops.demod import GroupedDemod
     from quisk_tpu.utils.boundary import make_boundary_step, pack_tree
 
     if mxu_dft is None:
@@ -380,9 +380,14 @@ def bench_pfb(iters: int = 20, K: int = 4096, mult: int = 8192,
                               # r3 window; K*8192 (33.5 M samples, 268 MB
                               # in) halves the floor share again
     pfb = OversampledPFB.create(K, B, taps_per_branch=8, mxu_dft=mxu_dft)
+    # contiguous mode quarters -> GroupedDemod runs each family only on
+    # its own channels as static slices (MixedDemod computes all three
+    # families on all K channels + mask selects: each extra family is a
+    # full pass over the [K, 2B/K] batch — 268 MB here)
     modes = [int(Mode.USB), int(Mode.LSB), int(Mode.AM), int(Mode.FM)]
-    demod = MixedDemod.create([modes[i % 4] for i in range(K)],
-                              sample_rate=2.0 * 48000.0, channels=K)
+    demod = GroupedDemod.create(
+        [modes[(4 * i) // K] for i in range(K)],
+        sample_rate=2.0 * 48000.0, channels=K)
 
     def fn(st, x):
         pfb_st, dm_st = st
@@ -422,15 +427,23 @@ def bench_pfb(iters: int = 20, K: int = 4096, mult: int = 8192,
 
 
 # ------------------------------------------------------- featured chain
-def bench_featured(iters: int = 20) -> dict:
+def bench_featured(iters: int = 20, nblk: int | None = None) -> dict:
     """Flagship chain with every optional RX stage enabled: noise blanker
     on raw IQ, FFT auto-notch, LMS ANF, spectral NR (NR2 gain tables),
     SSB + FM squelch — the cost of the full WDSP-style feature set that
-    BENCH's default flagship omits (VERDICT round-1 weak #2)."""
+    BENCH's default flagship omits (VERDICT round-1 weak #2).  Sustained
+    throughput via the same blocks-per-dispatch sweep as the flagship
+    (single-block dispatch buries the chain under the ~10 ms tunnel
+    floor: 23.1 vs 15.5 ms/block measured at nblk=8)."""
     from quisk_tpu.modes import Mode
     from quisk_tpu.rx import RxChain, RxChainConfig
     from quisk_tpu.utils.boundary import make_boundary_step, pack_tree
 
+    if nblk is None:
+        cands = [bench_featured(iters, nblk=1)]
+        cands += [bench_featured(max(10, iters // k), nblk=k)
+                  for k in (4, 8)]
+        return max(cands, key=lambda r: r["value"])
     C = 1024
     FS = 960000.0
     cfg = RxChainConfig(sample_rate=FS, channels=C, audio_block=2048,
@@ -444,21 +457,25 @@ def bench_featured(iters: int = 20) -> dict:
         mode=[modes[i % 4] for i in range(C)],
     )
     rng = np.random.default_rng(2)
-    x = (rng.standard_normal((C, chain.block_in))
-         + 1j * rng.standard_normal((C, chain.block_in))).astype(np.complex64)
-    step = make_boundary_step(lambda ch, st, xx: ch.step(st, xx))
+    x = (rng.standard_normal((C, nblk * chain.block_in))
+         + 1j * rng.standard_normal((C, nblk * chain.block_in))
+         ).astype(np.complex64)
+    step = make_boundary_step(
+        (lambda ch, st, xx: ch.step(st, xx)) if nblk == 1
+        else (lambda ch, st, xx: ch.step_blocks(st, xx, nblk)))
     pchain = jax.device_put(pack_tree(chain))
     pstate = jax.device_put(pack_tree(chain.init_state()))
     px = jax.device_put(pack_tree(x))
     cur, audio = step(pchain, pstate, px)
     _sync(audio)
     dt = _timed_best(lambda st: step(pchain, st, px), pstate, iters)
-    msps = C * chain.block_in / dt / 1e6
+    msps = C * chain.block_in * nblk / dt / 1e6
     return {
         "metric": "featured chain 1024ch @960k (+NB, auto-notch, ANF, NR2, SSB+FM squelch)",
         "value": round(msps, 1), "unit": "Msps",
         "vs_baseline": round(msps / BASELINE_MSPS, 1),
-        "ms_per_block": round(dt * 1e3, 2),
+        "blocks_per_dispatch": nblk,
+        "ms_per_block": round(dt / nblk * 1e3, 2),
     }
 
 

@@ -247,3 +247,52 @@ class MixedDemod:
             ext_st, a_ext = self.ext(ext_st, x)
             audio = jnp.where(m == int(Mode.EXT), a_ext, audio)
         return (am_st, fm_st, ext_st), audio
+
+
+@struct.dataclass
+class GroupedDemod:
+    """Mode demodulation over STATICALLY contiguous per-mode channel runs.
+
+    Where :class:`MixedDemod` computes every demod family on every
+    channel and mask-selects (so the mode vector stays retunable DATA),
+    this variant slices each contiguous run of same-family channels and
+    runs only its own demod — at channelizer scale ([4096, 16384]) the
+    mixed path's extra families + selects are each a full pass over a
+    268 MB batch.  The grouping is baked at create() (changing the mode
+    LAYOUT recompiles), which fits the PFB pipeline where channel->mode
+    is a fixed plan; per-channel retuning stays with MixedDemod.
+    SURVEY §7 hard-parts: "grouped-by-mode sub-batches likely fastest"
+    (reference per-mode switch: quisk.c:1909-2153).
+    """
+
+    ssb: SSBDemod
+    am: AMDemod
+    fm: FMDemod
+    runs: tuple = struct.field(pytree_node=False)   # ((family, lo, hi), ...)
+
+    _FAMS = {int(Mode.AM): "am", int(Mode.FM): "fm"}
+
+    @classmethod
+    def create(cls, mode, sample_rate: float, channels: int,
+               fm_deviation_hz: float = 5000.0):
+        m = np.broadcast_to(np.asarray(mode, np.int32), (channels,))
+        fam = np.asarray([cls._FAMS.get(int(v), "ssb") for v in m])
+        edges = [0] + [i for i in range(1, channels)
+                       if fam[i] != fam[i - 1]] + [channels]
+        runs = tuple((str(fam[lo]), lo, hi)
+                     for lo, hi in zip(edges[:-1], edges[1:]))
+        return cls(ssb=SSBDemod.create(), am=AMDemod.create(),
+                   fm=FMDemod.create(sample_rate, fm_deviation_hz),
+                   runs=runs)
+
+    def init_state(self, channels: int):
+        return tuple(getattr(self, f).init_state(hi - lo)
+                     for f, lo, hi in self.runs)
+
+    def __call__(self, state, x: jnp.ndarray):
+        new_states, outs = [], []
+        for st, (f, lo, hi) in zip(state, self.runs):
+            st, a = getattr(self, f)(st, x[lo:hi])
+            new_states.append(st)
+            outs.append(a)
+        return tuple(new_states), jnp.concatenate(outs, axis=0)

@@ -21,7 +21,20 @@ def _first_order_scan(x: jnp.ndarray, a, b, y_prev: jnp.ndarray) -> jnp.ndarray:
     """All outputs of y[n] = a*y[n-1] + b*x[n] given y[-1] = y_prev.
 
     x: [C, B]; a, b scalar or [C, 1]; y_prev: [C]. Returns y [C, B].
+
+    Two formulations, same math:
+    - associative_scan (log B levels, each touching the FULL [C, B] pair
+      of carry planes) for short blocks / per-channel coefficients;
+    - chunked MXU (scalar ``a``, B % 128 == 0, B >= 2048): within-chunk
+      outputs are one [C, nch, 128] x [128, 128] lower-triangular decay
+      matmul, chunk-boundary carries a tiny scan over [C, B/128].  At
+      PFB shapes ([4096, 16384]) the associative scan's ~14 levels are
+      several GB of HBM traffic; the matmul reads/writes the data once
+      (A/B in BENCH_DETAIL, the bulk of the PFB demod stage).
     """
+    a_arr = jnp.asarray(a)
+    if a_arr.ndim == 0 and x.shape[-1] >= 2048 and x.shape[-1] % 128 == 0:
+        return _first_order_chunked(x, a_arr, b, y_prev)
     A = jnp.broadcast_to(jnp.asarray(a, x.dtype), x.shape)
     Bv = jnp.asarray(b, x.dtype) * x
 
@@ -32,6 +45,47 @@ def _first_order_scan(x: jnp.ndarray, a, b, y_prev: jnp.ndarray) -> jnp.ndarray:
 
     A_cum, B_cum = jax.lax.associative_scan(combine, (A, Bv), axis=-1)
     return B_cum + A_cum * y_prev[:, None]
+
+
+def _first_order_chunked(x: jnp.ndarray, a, b, y_prev: jnp.ndarray,
+                         L: int = 128) -> jnp.ndarray:
+    """Chunked evaluation of y[n] = a*y[n-1] + b*x[n] (scalar a).
+
+    Within chunk j (start carry c_j): y[n] = a^(n+1) c_j + sum_k a^(n-k)
+    u[k] — the sum is a matmul with the [L, L] triangular T[n,k] =
+    a^(n-k); carries follow c_{j+1} = a^L c_j + e_j with e_j the chunk's
+    last carry-free output, a (B/L)-long affine recurrence (tiny scan)."""
+    C, B = x.shape
+    nch = B // L
+    A = a.astype(x.dtype)
+    u = (jnp.asarray(b, x.dtype) * x).reshape(C, nch, L)
+    n = jnp.arange(L)
+    d = n[:, None] - n[None, :]
+    # powers via |a|^d * sign(a)^d: float pow of a negative base is NaN,
+    # and ``a`` may be negative (e.g. the -b0 feedback in Biquad.df1)
+    dm = jnp.maximum(d, 0).astype(x.dtype)
+    sgn = jnp.where(A < 0, -1.0, 1.0).astype(x.dtype)
+    mag = jnp.abs(A)
+    pw = (mag ** dm) * jnp.where(dm % 2 == 0, 1.0, sgn)
+    T = jnp.where(d >= 0, pw, 0.0)
+    yin = jnp.einsum("cjk,nk->cjn", u, T,
+                     precision=jax.lax.Precision.HIGHEST)
+    e = yin[:, :, -1]                                  # [C, nch]
+    aL = (mag ** L) * (sgn ** (L % 2) if L % 2 else 1.0)
+    Aj = jnp.full((C, nch), aL, x.dtype)
+
+    def combine(lhs, rhs):
+        a1, b1 = lhs
+        a2, b2 = rhs
+        return a2 * a1, a2 * b1 + b2
+
+    Acum, Ecum = jax.lax.associative_scan(combine, (Aj, e), axis=-1)
+    s = Ecum + Acum * y_prev[:, None]                  # end state of chunk j
+    c = jnp.concatenate([y_prev[:, None], s[:, :-1]], axis=-1)
+    n1 = (n + 1).astype(x.dtype)
+    decay = (mag ** n1) * jnp.where((n + 1) % 2 == 0, 1.0, sgn)  # [L]
+    y = yin + c[:, :, None] * decay[None, None, :]
+    return y.reshape(C, B)
 
 
 @struct.dataclass

@@ -104,3 +104,26 @@ def test_mixed_demod_selects_per_channel():
     assert dsp.snr_db(ssb_ref, a[0], skip=64) > 60
     assert dsp.snr_db(am_ref, a[1], skip=64) > 60
     assert dsp.snr_db(fm_ref, a[2], skip=64) > 60
+
+
+def test_grouped_demod_matches_mixed():
+    """GroupedDemod on contiguous mode runs == MixedDemod masks,
+    streaming state included."""
+    import jax.numpy as jnp
+    from quisk_tpu.modes import Mode
+    from quisk_tpu.ops.demod import GroupedDemod, MixedDemod
+
+    C, B = 16, 1024
+    modes = ([int(Mode.USB)] * 4 + [int(Mode.AM)] * 4
+             + [int(Mode.FM)] * 4 + [int(Mode.LSB)] * 4)
+    g = GroupedDemod.create(modes, 96000.0, C)
+    m = MixedDemod.create(modes, 96000.0, C)
+    rng = np.random.default_rng(5)
+    sg, sm = g.init_state(C), m.init_state(C)
+    for _ in range(3):
+        x = jnp.asarray((rng.standard_normal((C, B))
+                         + 1j * rng.standard_normal((C, B))
+                         ).astype(np.complex64))
+        sg, yg = g(sg, x)
+        sm, ym = m(sm, x)
+        assert np.max(np.abs(np.asarray(yg) - np.asarray(ym))) < 1e-5

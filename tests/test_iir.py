@@ -40,3 +40,31 @@ def test_preemphasis(rng):
     st, y = op(st, x)
     ref = x[:, :] - 0.97 * np.concatenate([np.zeros((2, 1)), x[:, :-1]], axis=-1)
     np.testing.assert_allclose(np.asarray(y), ref, atol=1e-5)
+
+
+def test_first_order_chunked_matches_scan():
+    """The chunked MXU formulation (B >= 2048, scalar a) is the same
+    recurrence as the associative scan to f32 roundoff — including the
+    carry across blocks."""
+    import jax.numpy as jnp
+    from quisk_tpu.ops.iir import (_first_order_chunked,
+                                   _first_order_scan)
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((4, 4096)).astype(np.float32)
+    y0 = rng.standard_normal(4).astype(np.float32)
+    for a, b in ((0.995, 1.0), (0.9806, 0.0194)):
+        yc = np.asarray(_first_order_chunked(
+            jnp.asarray(x), jnp.float32(a), b, jnp.asarray(y0)))
+        # reference: the associative scan on a SHORT block (forced by
+        # slicing under the chunked threshold) streamed in 4 pieces
+        ys = []
+        prev = jnp.asarray(y0)
+        for k in range(4):
+            seg = jnp.asarray(x[:, k * 1024:(k + 1) * 1024])
+            y = _first_order_scan(seg, jnp.float32(a), b, prev)
+            prev = y[:, -1]
+            ys.append(np.asarray(y))
+        ys = np.concatenate(ys, axis=-1)
+        err = np.max(np.abs(yc - ys)) / max(1e-9, np.max(np.abs(ys)))
+        assert err < 5e-6, (a, err)
