@@ -524,10 +524,24 @@ class RxChain:
         return state, jnp.concatenate(outs, axis=-1)
 
     def process(self, state, iq: jnp.ndarray):
-        """Many blocks via lax.scan: iq [C, N] -> audio [C, N_audio]."""
+        """Many blocks: iq [C, N] -> audio [C, N_audio].
+
+        lax.scan over blocks — except when the Pallas fused front is
+        active: scanning around a pallas_call hangs Mosaic compilation
+        (CLAUDE.md), so that path streams block-by-block from the host
+        (the per-block program is compiled once and reused)."""
         C, N = iq.shape
         nblk = N // self.block_in
         xb = iq[:, : nblk * self.block_in]
+        if self.front is not None:
+            outs = []
+            for k in range(nblk):
+                state, a = self.step(
+                    state, jax.lax.slice_in_dim(
+                        xb, k * self.block_in, (k + 1) * self.block_in,
+                        axis=-1))
+                outs.append(a)
+            return state, jnp.concatenate(outs, axis=-1)
         xb = xb.reshape(C, nblk, self.block_in).transpose(1, 0, 2)
 
         def body(st, blk):
