@@ -379,7 +379,8 @@ def bench_pfb(iters: int = 20, K: int = 4096, mult: int = 8192,
                               # still measured 30.2% floor on a contended
                               # r3 window; K*8192 (33.5 M samples, 268 MB
                               # in) halves the floor share again
-    pfb = OversampledPFB.create(K, B, taps_per_branch=8, mxu_dft=mxu_dft)
+    pfb = OversampledPFB.create(K, B, taps_per_branch=8, mxu_dft=mxu_dft,
+                                pallas_poly=True)
     # contiguous mode quarters -> GroupedDemod runs each family only on
     # its own channels as static slices (MixedDemod computes all three
     # families on all K channels + mask selects: each extra family is a

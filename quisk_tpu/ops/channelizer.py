@@ -142,10 +142,15 @@ class OversampledPFB:
     P: int = struct.field(pytree_node=False)
     block: int = struct.field(pytree_node=False)
     dft: Any = None                 # optional MXU IDFT (see PFBChannelizer)
+    #: polyphase accumulation as a Pallas kernel: the XLA shifted-view
+    #: formulation re-reads the input once per (p, half) term (~16x HBM);
+    #: the kernel holds a frame tile + successor in VMEM and reads ~2x
+    pallas_poly: bool = struct.field(pytree_node=False, default=False)
 
     @classmethod
     def create(cls, n_chan: int, block: int, taps_per_branch: int = 8,
-               atten_db: float = 90.0, mxu_dft: bool = False):
+               atten_db: float = 90.0, mxu_dft: bool = False,
+               pallas_poly: bool = False):
         if n_chan % 2 or block % n_chan:
             raise ValueError("need even n_chan and block % n_chan == 0")
         h = pfb_prototype(n_chan, taps_per_branch, atten_db)
@@ -153,9 +158,13 @@ class OversampledPFB:
         if mxu_dft:
             from quisk_tpu.ops.mxdft import MatmulDFT
             dft = MatmulDFT.create(n_chan, inverse=True)
+        if pallas_poly and ((n_chan // 2) % 128 or (2 * block // n_chan) % 8):
+            raise ValueError("pallas_poly needs K/2 % 128 == 0 and "
+                             "n_out % 8 == 0")
         return cls(h_poly=jnp.asarray(h.reshape(taps_per_branch, n_chan),
                                       jnp.float32),
-                   n_chan=n_chan, P=taps_per_branch, block=block, dft=dft)
+                   n_chan=n_chan, P=taps_per_branch, block=block, dft=dft,
+                   pallas_poly=pallas_poly)
 
     def init_state(self, streams: int):
         # history: P*K - hop samples so window m=0 of the next block
@@ -189,19 +198,26 @@ class OversampledPFB:
         # (K-1-q) commutator flip once at the end.
         G = ext.reshape(S, n_out + 2 * P - 1, M)
         Gr, Gi = jnp.real(G), jnp.imag(G)
-        hrev = self.h_poly[::-1, ::-1]             # [P, K] both axes reversed
-        halves_r, halves_i = [], []
-        for hh in range(2):
-            ur = jnp.zeros((S, n_out, M), jnp.float32)
-            ui = jnp.zeros((S, n_out, M), jnp.float32)
-            for p in range(P):
-                w = hrev[p, hh * M:(hh + 1) * M]
-                ur = ur + Gr[:, 2 * p + hh: 2 * p + hh + n_out] * w
-                ui = ui + Gi[:, 2 * p + hh: 2 * p + hh + n_out] * w
-            halves_r.append(ur)
-            halves_i.append(ui)
-        vr = jnp.concatenate(halves_r, axis=-1)[..., ::-1]
-        vi = jnp.concatenate(halves_i, axis=-1)[..., ::-1]
+        if self.pallas_poly:
+            from quisk_tpu.ops.pallas_kernels import pfb_poly_oversampled
+            outs = [pfb_poly_oversampled(Gr[s], Gi[s], self.h_poly, n_out)
+                    for s in range(S)]
+            vr = jnp.stack([o[0] for o in outs])[..., ::-1]
+            vi = jnp.stack([o[1] for o in outs])[..., ::-1]
+        else:
+            hrev = self.h_poly[::-1, ::-1]         # [P, K] both axes reversed
+            halves_r, halves_i = [], []
+            for hh in range(2):
+                ur = jnp.zeros((S, n_out, M), jnp.float32)
+                ui = jnp.zeros((S, n_out, M), jnp.float32)
+                for p in range(P):
+                    w = hrev[p, hh * M:(hh + 1) * M]
+                    ur = ur + Gr[:, 2 * p + hh: 2 * p + hh + n_out] * w
+                    ui = ui + Gi[:, 2 * p + hh: 2 * p + hh + n_out] * w
+                halves_r.append(ur)
+                halves_i.append(ui)
+            vr = jnp.concatenate(halves_r, axis=-1)[..., ::-1]
+            vi = jnp.concatenate(halves_i, axis=-1)[..., ::-1]
         if self.dft is not None:
             yr, yi = self.dft.apply_ri(vr, vi)
             y = jax.lax.complex(yr, yi)            # = K * ifft

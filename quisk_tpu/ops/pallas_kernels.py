@@ -630,3 +630,90 @@ class FusedTuneDecimate:
             seg = tuned[:, k * self.decim: k * self.decim + T]
             y[:, k] = seg @ h_rev
         return y
+
+
+# ---------------------------------------------------------------- PFB poly
+def _pfb_poly_kernel(ar, ai, br, bi, h_ref, vr_ref, vi_ref, *, TF, M, P):
+    """One tile of the 2x-oversampled PFB polyphase accumulation.
+
+    a/b are consecutive TF-frame tiles of the [F_in, M] half-frame view
+    (b = a's successor, so rows m..m+2P-1 are available for every local
+    output frame m); h is the [P, 2M] reversed prototype.  Output frame
+    m, half hh: v[m, hh*M + q] = sum_p a_or_b[m + 2p + hh, q] * h[p,
+    hh*M + q].  All slices static -> pure VPU FMAs on VMEM data; each
+    input frame is read from HBM twice total (once as a, once as b)
+    instead of once per (p, hh) term.
+    """
+    for hh in range(2):
+        accr = jnp.zeros((TF, M), jnp.float32)
+        acci = jnp.zeros((TF, M), jnp.float32)
+        for p in range(P):
+            off = 2 * p + hh
+            w = h_ref[p, hh * M:(hh + 1) * M]
+            if off == 0:
+                wr, wi = ar[...], ai[...]
+            else:
+                wr = jnp.concatenate([ar[off:], br[:off]], axis=0)
+                wi = jnp.concatenate([ai[off:], bi[:off]], axis=0)
+            accr += wr * w
+            acci += wi * w
+        vr_ref[:, hh * M:(hh + 1) * M] = accr
+        vi_ref[:, hh * M:(hh + 1) * M] = acci
+
+
+def pfb_poly_oversampled(gr: jnp.ndarray, gi: jnp.ndarray,
+                         h_poly: jnp.ndarray, n_out: int,
+                         TF: int = 128, interpret: bool | None = None):
+    """Polyphase accumulation of OversampledPFB as a Pallas kernel.
+
+    gr/gi: [F_in, M] real/imag half-frame views (F_in = n_out + 2P - 1),
+    h_poly: [P, K] prototype (UNreversed; reversal folded here).
+    Returns (vr, vi) [n_out, 2M] — the concatenated halves, pre the
+    final lane reversal (the caller's [..., ::-1] and IDFT are
+    unchanged).  The shifted-VIEW XLA formulation re-reads the input
+    once per (p, hh) term (~16x); this kernel holds a TF-frame tile plus
+    its successor in VMEM and accumulates all 16 terms from there.
+    """
+    P, K = h_poly.shape
+    M = K // 2
+    F_in = gr.shape[0]
+    assert F_in == n_out + 2 * P - 1
+    while TF > 8 and n_out % TF:
+        TF //= 2
+    if n_out % TF or M % 128:
+        raise ValueError("pfb_poly needs n_out % TF == 0 and M % 128 == 0")
+    hrev = h_poly[::-1, ::-1]
+    grid = (n_out // TF,)
+    pad = (grid[0] + 1) * TF - F_in
+    gr = jnp.pad(gr, ((0, pad), (0, 0)))
+    gi = jnp.pad(gi, ((0, pad), (0, 0)))
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    kern = functools.partial(_pfb_poly_kernel, TF=TF, M=M, P=P)
+    vr, vi = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TF, M), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),       # tile t (x4)
+            pl.BlockSpec((TF, M), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TF, M), lambda t: (t + 1, 0),
+                         memory_space=pltpu.VMEM),       # successor tile
+            pl.BlockSpec((TF, M), lambda t: (t + 1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, K), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),       # taps
+        ],
+        out_specs=[
+            pl.BlockSpec((TF, K), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TF, K), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((n_out, K), jnp.float32),
+                   jax.ShapeDtypeStruct((n_out, K), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 << 20),
+    )(gr, gi, gr, gi, jnp.asarray(hrev, jnp.float32))
+    return vr, vi
