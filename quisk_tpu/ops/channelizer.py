@@ -60,10 +60,13 @@ class PFBChannelizer:
     #: the TPU FFT runs ~0.1-0.2 TFLOP/s effective; two HIGHEST-precision
     #: 64x64 matmul stages beat it at K=4096, BENCH_DETAIL A/B)
     dft: Any = None
+    #: polyphase accumulation as a Pallas kernel (see OversampledPFB)
+    pallas_poly: bool = struct.field(pytree_node=False, default=False)
 
     @classmethod
     def create(cls, n_chan: int, block: int, taps_per_branch: int = 8,
-               atten_db: float = 90.0, mxu_dft: bool = False):
+               atten_db: float = 90.0, mxu_dft: bool = False,
+               pallas_poly: bool = False):
         if block % n_chan:
             raise ValueError("block must be a multiple of n_chan")
         h = pfb_prototype(n_chan, taps_per_branch, atten_db)
@@ -72,8 +75,12 @@ class PFBChannelizer:
         if mxu_dft:
             from quisk_tpu.ops.mxdft import MatmulDFT
             dft = MatmulDFT.create(n_chan, inverse=True)
+        if pallas_poly and (n_chan % 128 or (block // n_chan) % 8):
+            raise ValueError("pallas_poly needs K % 128 == 0 and "
+                             "block/K % 8 == 0")
         return cls(h_poly=jnp.asarray(hp, jnp.float32), n_chan=n_chan,
-                   P=taps_per_branch, block=block, dft=dft)
+                   P=taps_per_branch, block=block, dft=dft,
+                   pallas_poly=pallas_poly)
 
     def init_state(self, streams: int):
         return np.zeros((streams, (self.P - 1) * self.n_chan), np.complex64)
@@ -99,14 +106,21 @@ class PFBChannelizer:
         # formulation paid ~4 ms/block writing+reading the P-times-
         # redundant stack at K=4096; direct accumulation is ~free on top
         # of the streaming reads — scratch probe, 2026-08).
-        hrev = self.h_poly[::-1, ::-1]            # [P, K], both axes reversed
         fr, fi = jnp.real(frames), jnp.imag(frames)
-        ur = jnp.zeros((S, M, K), jnp.float32)
-        ui = jnp.zeros((S, M, K), jnp.float32)
-        for p in range(P):
-            w = hrev[p]
-            ur = ur + fr[:, p:p + M] * w
-            ui = ui + fi[:, p:p + M] * w
+        if self.pallas_poly:
+            from quisk_tpu.ops.pallas_kernels import pfb_poly_critical
+            outs = [pfb_poly_critical(fr[s], fi[s], self.h_poly, M)
+                    for s in range(S)]
+            ur = jnp.stack([o[0] for o in outs])
+            ui = jnp.stack([o[1] for o in outs])
+        else:
+            hrev = self.h_poly[::-1, ::-1]        # [P, K], both axes reversed
+            ur = jnp.zeros((S, M, K), jnp.float32)
+            ui = jnp.zeros((S, M, K), jnp.float32)
+            for p in range(P):
+                w = hrev[p]
+                ur = ur + fr[:, p:p + M] * w
+                ui = ui + fi[:, p:p + M] * w
         if self.dft is not None:
             yr, yi = self.dft.apply_ri(ur[..., ::-1], ui[..., ::-1])
             y = jax.lax.complex(yr, yi)           # = K * ifft

@@ -717,3 +717,70 @@ def pfb_poly_oversampled(gr: jnp.ndarray, gi: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 << 20),
     )(gr, gi, gr, gi, jnp.asarray(hrev, jnp.float32))
     return vr, vi
+
+
+def _pfb_poly_crit_kernel(ar, ai, br, bi, h_ref, vr_ref, vi_ref, *, TF, K, P):
+    """Critically-sampled variant: v[m, q] = sum_p a_or_b[m + p, q] *
+    h[p, q] (hop == frame, no halves)."""
+    accr = jnp.zeros((TF, K), jnp.float32)
+    acci = jnp.zeros((TF, K), jnp.float32)
+    for p in range(P):
+        if p == 0:
+            wr, wi = ar[...], ai[...]
+        else:
+            wr = jnp.concatenate([ar[p:], br[:p]], axis=0)
+            wi = jnp.concatenate([ai[p:], bi[:p]], axis=0)
+        accr += wr * h_ref[p]
+        acci += wi * h_ref[p]
+    vr_ref[...] = accr
+    vi_ref[...] = acci
+
+
+def pfb_poly_critical(gr: jnp.ndarray, gi: jnp.ndarray,
+                      h_poly: jnp.ndarray, n_out: int,
+                      TF: int = 64, interpret: bool | None = None):
+    """Critically-sampled PFB accumulation (PFBChannelizer): gr/gi
+    [F_in, K] frame views (F_in = n_out + P - 1), h_poly [P, K]
+    UNreversed.  Returns (vr, vi) [n_out, K] pre the lane reversal."""
+    P, K = h_poly.shape
+    F_in = gr.shape[0]
+    assert F_in == n_out + P - 1
+    while TF > 8 and n_out % TF:
+        TF //= 2
+    if n_out % TF or K % 128:
+        raise ValueError("pfb_poly needs n_out % TF == 0 and K % 128 == 0")
+    hrev = h_poly[::-1, ::-1]
+    grid = (n_out // TF,)
+    pad = (grid[0] + 1) * TF - F_in
+    gr = jnp.pad(gr, ((0, pad), (0, 0)))
+    gi = jnp.pad(gi, ((0, pad), (0, 0)))
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    kern = functools.partial(_pfb_poly_crit_kernel, TF=TF, K=K, P=P)
+    vr, vi = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TF, K), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TF, K), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TF, K), lambda t: (t + 1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TF, K), lambda t: (t + 1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, K), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TF, K), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TF, K), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((n_out, K), jnp.float32),
+                   jax.ShapeDtypeStruct((n_out, K), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 << 20),
+    )(gr, gi, gr, gi, jnp.asarray(hrev, jnp.float32))
+    return vr, vi

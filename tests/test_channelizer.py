@@ -2,6 +2,8 @@
 equivalence with the tune+filter+decimate approach."""
 
 import numpy as np
+import pytest
+import jax.numpy as jnp
 
 from quisk_tpu.ops.channelizer import PFBChannelizer
 
@@ -116,3 +118,24 @@ def test_oversampled_pfb_channel_edge_tone():
     f = np.fft.fftfreq(len(ch), K / (2 * FS))
     k = np.argmax(np.abs(np.fft.fft(ch)))
     assert abs(f[k] - FS / (2 * K)) < 2 * (2 * FS / K) / len(ch)
+
+
+@pytest.mark.parametrize("cls_name", ["PFBChannelizer", "OversampledPFB"])
+def test_pallas_poly_matches_views(cls_name):
+    """The Pallas polyphase-accumulation kernel == the shifted-view XLA
+    formulation, streaming state included."""
+    import quisk_tpu.ops.channelizer as chz
+
+    cls = getattr(chz, cls_name)
+    K, B = 512, 512 * 16
+    a = cls.create(K, B)
+    b = cls.create(K, B, pallas_poly=True)
+    rng = np.random.default_rng(9)
+    sa, sb = a.init_state(2), b.init_state(2)
+    for _ in range(2):
+        x = (rng.standard_normal((2, B))
+             + 1j * rng.standard_normal((2, B))).astype(np.complex64)
+        sa, ya = a(sa, jnp.asarray(x))
+        sb, yb = b(sb, jnp.asarray(x))
+        err = float(jnp.max(jnp.abs(ya - yb)))
+        assert err < 1e-4, (cls_name, err)
