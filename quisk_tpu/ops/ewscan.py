@@ -20,6 +20,10 @@ solved exactly in two matmul levels that run on the MXU:
 Both dots use ``Precision.HIGHEST`` (Mosaic/XLA otherwise truncate f32
 operands to bf16, CLAUDE.md).  Exact to f32 rounding; conformance vs a
 float64 sequential oracle in tests/test_frontend.py.
+
+``ops/iir._first_order_chunked`` is the traced-coefficient sibling of
+this scheme (OnePole/DCBlock carry their coefficient as pytree data);
+keep the two in sync when touching either.
 """
 
 from __future__ import annotations

@@ -54,7 +54,12 @@ def _first_order_chunked(x: jnp.ndarray, a, b, y_prev: jnp.ndarray,
     Within chunk j (start carry c_j): y[n] = a^(n+1) c_j + sum_k a^(n-k)
     u[k] — the sum is a matmul with the [L, L] triangular T[n,k] =
     a^(n-k); carries follow c_{j+1} = a^L c_j + e_j with e_j the chunk's
-    last carry-free output, a (B/L)-long affine recurrence (tiny scan)."""
+    last carry-free output, a (B/L)-long affine recurrence (tiny scan).
+
+    Same scheme as ops/ewscan.ew_cumsum (the capture-path DC blocker);
+    this version additionally handles a TRACED (pytree-data, possibly
+    negative) coefficient — the basis powers are built in-graph via
+    |a|^d * sign(a)^d — where ew_cumsum wants a static python float."""
     C, B = x.shape
     nch = B // L
     A = a.astype(x.dtype)
