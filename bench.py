@@ -785,32 +785,22 @@ def main():
               f"({tx['ms_per_block']} ms/block)",
               ""]
     # host ingest plane (no TPU): regenerate the native-pump section so a
-    # BENCH_DETAIL rewrite never drops it (quisk.c:3284/3519 parity)
+    # BENCH_DETAIL rewrite never drops it (quisk.c:3284/3519 parity).
+    # Runs in a FRESH interpreter: this loaded-JAX process depresses the
+    # pump 2-3x (measured 26.7 vs 73.3 Msps max zero-loss).
     try:
-        import bench_ingest
-        ing = []
-        for codec, n_rx in (("hiqsdr", 1), ("metis", 8)):
-            r = bench_ingest.run_config(codec, n_rx, 400_000, 16384)
-            ing.append((f"{codec} {n_rx} rx, max blast rate",
-                        r["drained_msps"], r))
-        spf = 2 * ((512 - 8) // (8 * 6 + 2))
-        pace = 4.0 * 384_000 / spf
-        r = bench_ingest.run_config("metis", 8, int(pace * 3), 16384,
-                                    pace_pps=pace)
-        ok = r["seq_errors"] == 0 and r["ring_overruns"] == 0
-        ing.append((f"metis 8 rx, paced 4x real-time "
-                    f"({'zero' if ok else r['seq_errors']} seq errors)",
-                    r["drained_msps"], r))
-        # the zero-loss CEILING, not just the 4x floor: binary-search the
-        # max paced rate that still drains clean (VERDICT r3 item 9)
-        sw = bench_ingest.sweep_zero_loss("metis", 8, block=16384)
-        ing.append((f"metis 8 rx, max zero-loss paced (binary search, "
-                    f"{sw['x_realtime']}x real-time)",
-                    sw["drained_msps"], sw))
+        import subprocess
+        import sys
+        out = subprocess.run(
+            [sys.executable, "/root/repo/bench_ingest.py", "--detail-json"],
+            capture_output=True, text=True, timeout=900, check=True,
+            env={k: v for k, v in os.environ.items()
+                 if not k.startswith("JAX")})
+        ing = json.loads(out.stdout.strip().splitlines()[-1])
         lines += ["## Host ingest (native C++ pump: recvmmsg + parse + "
-                  "lock-free rings; no TPU)", "",
+                  "lock-free rings; no TPU, fresh interpreter)", "",
                   "| stream | aggregate Msps (drained) |", "|---|---|"]
-        for name, msps, _ in ing:
+        for name, msps in ing:
             lines.append(f"| {name} | {msps} |")
         lines += ["",
                   "Reference ceiling: 8 receivers x 384 kHz through the C "

@@ -127,14 +127,43 @@ def sweep_zero_loss(codec: str = "metis", n_rx: int = 8,
     return out
 
 
+def detail_rows(block: int = 16384) -> list:
+    """The BENCH_DETAIL host-ingest rows as (name, msps, raw) tuples.
+    Run in a FRESH interpreter (bench.py invokes this via subprocess):
+    a loaded JAX process depresses the pump by 2-3x (measured 26.7 vs
+    73.3 Msps max zero-loss in-process vs standalone)."""
+    rows = []
+    for codec, n_rx in (("hiqsdr", 1), ("metis", 8)):
+        r = run_config(codec, n_rx, 400_000, block)
+        rows.append((f"{codec} {n_rx} rx, max blast rate",
+                     r["drained_msps"], r))
+    spf = 2 * ((512 - 8) // (8 * 6 + 2))
+    pace = 4.0 * 384_000 / spf
+    r = run_config("metis", 8, int(pace * 3), block, pace_pps=pace)
+    ok = r["seq_errors"] == 0 and r["ring_overruns"] == 0
+    rows.append((f"metis 8 rx, paced 4x real-time "
+                 f"({'zero' if ok else r['seq_errors']} seq errors)",
+                 r["drained_msps"], r))
+    sw = sweep_zero_loss("metis", 8, block=block)
+    rows.append((f"metis 8 rx, max zero-loss paced (binary search, "
+                 f"{sw['x_realtime']}x real-time)", sw["drained_msps"], sw))
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--packets", type=int, default=400_000)
     ap.add_argument("--block", type=int, default=16384)
     ap.add_argument("--sweep", action="store_true",
                     help="binary-search the max zero-loss paced rate")
+    ap.add_argument("--detail-json", action="store_true",
+                    help="print the BENCH_DETAIL ingest rows as JSON")
     args = ap.parse_args()
 
+    if args.detail_json:
+        print(json.dumps([(n, m) for n, m, _ in
+                          detail_rows(block=args.block)]))
+        return
     if args.sweep:
         print(json.dumps(sweep_zero_loss(block=args.block)))
         return
