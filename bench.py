@@ -781,8 +781,57 @@ def main():
               f"({pfb['ms_per_block']} ms/block, dispatch floor "
               f"{pfb['dispatch_floor_pct']}% of the window, IDFT "
               f"{pfb.get('idft')}; A/B {pfb.get('ab_idft_msps')})",
+              "  - The demod stage (~21 ms marginal in-pipeline) is "
+              "HBM-bound, not compute-bound: probe_pfb_demod.py times "
+              "each GroupedDemod family standalone at the full "
+              "[4096, 16384] shape and every marginal is <1 ms (FM "
+              "arctan2 vs plain complex-diff +0.6) — the in-pipeline "
+              "cost is the unavoidable 536 MB channel-batch read + "
+              "268 MB audio write at the device-effective rate, and "
+              "the spectrum tap is already fused into those reads "
+              "(probe_pfb_spec.py in-pipeline A/B: full 53.11 vs "
+              "no-spectrum 53.47 ms, identical within noise). Like "
+              "the flagship, the PFB sits on the bandwidth floor "
+              "(measured 2026-08-20).",
               f"- {tx['metric']}: {tx['value']} {tx['unit']} "
               f"({tx['ms_per_block']} ms/block)",
+              "",
+              "## Sharding / scaling (8-device virtual CPU mesh)",
+              "",
+              "The production sharded step (`parallel/shard.py "
+              "make_sharded_step`, shard_map) is **zero-collectives by "
+              "construction** — guarded by tests/test_scaling.py::"
+              "test_sharded_step_has_zero_collectives, not by timing.  "
+              "Round 3's strong-scaling fixed-overhead collapse "
+              "(of-ideal 97.1% @2 -> 55.7% @8 under the plain GSPMD "
+              "jit, which inserted 18 all-gathers + 24 permutes at 8 "
+              "devices: every `jnp.fft` batch dim gathered, `[re;im]` "
+              "concats resharded) is diagnosed and fixed: FIRs stack "
+              "I/Q on a channel-major axis and the step runs under "
+              "shard_map.",
+              "",
+              "Measured after the fix (3 independent runs 2026-08-20, "
+              "7/15/25 iters, 32 fixed channels strong / 16 "
+              "ch-per-device weak):",
+              "",
+              "| devices | strong of-ideal (3 runs) | weak of-ideal (3 runs) |",
+              "|---|---|---|",
+              "| 2 | 96-194% | 114-176% |",
+              "| 4 | 125-171% | 178-207% |",
+              "| 8 | **110-189%** | 202-252% |",
+              "",
+              "Strong of-ideal no longer collapses — it stays >=100% at "
+              "every device count (r3: 55.7% @8).  Absolute numbers "
+              "remain smoke-only: on the shared-silicon virtual mesh "
+              "the (max-min)/median spread exceeds the 25% quotability "
+              "guard in every run (host contention), so the table "
+              "reports the cross-run RANGE rather than a point.  The "
+              ">=80% BASELINE row still needs a real >=2-chip slice "
+              "(environment-blocked); the harness "
+              "(`parallel/scaling.py`, printed by `python "
+              "__graft_entry__.py`) runs unchanged there and the "
+              "zero-collectives guarantee is what makes near-ideal "
+              "ICI scaling the expected outcome.",
               ""]
     # host ingest plane (no TPU): regenerate the native-pump section so a
     # BENCH_DETAIL rewrite never drops it (quisk.c:3284/3519 parity).
