@@ -350,21 +350,28 @@ def bench_nfm_stages(iters: int = 20) -> list[dict]:
 
 # ----------------------------------------------------------------- PFB
 def bench_pfb(iters: int = 20, K: int = 4096, mult: int = 8192,
-              mxu_dft: bool | None = None) -> dict:
+              mxu_dft: bool | None = None, fused: bool = True) -> dict:
     """BASELINE config #5 engine: 4096-channel 2x-oversampled PFB
     channelizer + mixed demod + per-channel power spectrum, single chip.
+
+    ``fused=True`` (default) runs :class:`PFBRxPipeline` — the demod
+    consumes the IDFT output planes TIME-MAJOR, so the [K, 2B/K]
+    channel-major complex batch (536 MB at flagship shape) never
+    materializes in HBM (VERDICT r4 item 1; the r4 pipeline's ~21 ms
+    demod marginal was that batch's write + re-read).  ``fused=False``
+    keeps the r4 corner-turn path for the A/B row.
 
     ``mxu_dft=None`` A/Bs the cross-branch IDFT — jnp.fft.ifft vs the
     two-stage MXU matmul DFT (ops/mxdft.py, VERDICT r3 item 3) — and
     reports the winner with both numbers attached."""
     from quisk_tpu.modes import Mode
-    from quisk_tpu.ops.channelizer import OversampledPFB
+    from quisk_tpu.ops.channelizer import OversampledPFB, PFBRxPipeline
     from quisk_tpu.ops.demod import GroupedDemod
     from quisk_tpu.utils.boundary import make_boundary_step, pack_tree
 
     if mxu_dft is None:
-        a = bench_pfb(iters, K, mult, mxu_dft=False)
-        b = bench_pfb(iters, K, mult, mxu_dft=True)
+        a = bench_pfb(iters, K, mult, mxu_dft=False, fused=fused)
+        b = bench_pfb(iters, K, mult, mxu_dft=True, fused=fused)
         win = max((a, b), key=lambda r: r["value"])
         win["ab_idft_msps"] = {"fft": a["value"], "mxu_matmul": b["value"]}
         return win
@@ -379,29 +386,42 @@ def bench_pfb(iters: int = 20, K: int = 4096, mult: int = 8192,
                               # still measured 30.2% floor on a contended
                               # r3 window; K*8192 (33.5 M samples, 268 MB
                               # in) halves the floor share again
-    pfb = OversampledPFB.create(K, B, taps_per_branch=8, mxu_dft=mxu_dft,
-                                pallas_poly=True)
-    # contiguous mode quarters -> GroupedDemod runs each family only on
+    # contiguous mode quarters -> grouped demod runs each family only on
     # its own channels as static slices (MixedDemod computes all three
     # families on all K channels + mask selects: each extra family is a
     # full pass over the [K, 2B/K] batch — 268 MB here)
     modes = [int(Mode.USB), int(Mode.LSB), int(Mode.AM), int(Mode.FM)]
-    demod = GroupedDemod.create(
-        [modes[(4 * i) // K] for i in range(K)],
-        sample_rate=2.0 * 48000.0, channels=K)
+    mode_vec = [modes[(4 * i) // K] for i in range(K)]
 
-    def fn(st, x):
-        pfb_st, dm_st = st
-        pfb_st, ch = pfb(pfb_st, x)               # [S, K, 2B/K]
-        ch2 = ch.reshape(S * K, -1)
-        dm_st, audio = demod(dm_st, ch2)
-        spec = jnp.mean(jnp.abs(ch2) ** 2, axis=-1)   # per-channel power
-        return (pfb_st, dm_st), (audio, spec)
+    if fused:
+        pipe = PFBRxPipeline.create(K, B, mode_vec,
+                                    channel_rate=2.0 * 48000.0,
+                                    mxu_dft=mxu_dft, pallas_poly=True)
+
+        def fn(st, x):
+            return pipe(st, x)
+
+        init_state = lambda: pipe.init_state(S)
+    else:
+        pfb = OversampledPFB.create(K, B, taps_per_branch=8,
+                                    mxu_dft=mxu_dft, pallas_poly=True)
+        demod = GroupedDemod.create(mode_vec, sample_rate=2.0 * 48000.0,
+                                    channels=K)
+
+        def fn(st, x):
+            pfb_st, dm_st = st
+            pfb_st, ch = pfb(pfb_st, x)           # [S, K, 2B/K]
+            ch2 = ch.reshape(S * K, -1)
+            dm_st, audio = demod(dm_st, ch2)
+            spec = jnp.mean(jnp.abs(ch2) ** 2, axis=-1)  # per-chan power
+            return (pfb_st, dm_st), (audio, spec)
+
+        init_state = lambda: (pfb.init_state(S), demod.init_state(S * K))
 
     rng = np.random.default_rng(1)
     x = (rng.standard_normal((S, B))
          + 1j * rng.standard_normal((S, B))).astype(np.complex64)
-    st = (pfb.init_state(S), demod.init_state(S * K))
+    st = init_state()
     stepf = make_boundary_step(fn)
     pst = jax.device_put(pack_tree(st))
     px = jax.device_put(pack_tree(x))
@@ -424,6 +444,7 @@ def bench_pfb(iters: int = 20, K: int = 4096, mult: int = 8192,
         "ms_per_block": round(dt * 1e3, 2),
         "dispatch_floor_pct": round(100.0 * floor / dt, 1),
         "idft": "mxu_matmul" if mxu_dft else "fft",
+        "demod": "fused time-major" if fused else "corner-turn (r4)",
     }
 
 
@@ -702,8 +723,11 @@ def main():
     nfm = bench_nfm(iters=it)
     nfm_stages = bench_nfm_stages(iters=it)
     pfb = bench_pfb(iters=it)
+    # same-window A/B against the r4 corner-turn pipeline (winner IDFT)
+    pfb_un = bench_pfb(iters=max(3, it // 2),
+                       mxu_dft=pfb["idft"] == "mxu_matmul", fused=False)
     tx = bench_tx(iters=it)
-    for extra in (feat, nfm, pfb, tx):
+    for extra in (feat, nfm, pfb, pfb_un, tx):
         print(json.dumps(extra))
 
     hbm_eff = measure_hbm_gbps()
@@ -780,19 +804,26 @@ def main():
               f"- {pfb['metric']}: {pfb['value']} {pfb['unit']} "
               f"({pfb['ms_per_block']} ms/block, dispatch floor "
               f"{pfb['dispatch_floor_pct']}% of the window, IDFT "
-              f"{pfb.get('idft')}; A/B {pfb.get('ab_idft_msps')})",
-              "  - The demod stage (~21 ms marginal in-pipeline) is "
-              "HBM-bound, not compute-bound: probe_pfb_demod.py times "
-              "each GroupedDemod family standalone at the full "
-              "[4096, 16384] shape and every marginal is <1 ms (FM "
-              "arctan2 vs plain complex-diff +0.6) — the in-pipeline "
-              "cost is the unavoidable 536 MB channel-batch read + "
-              "268 MB audio write at the device-effective rate, and "
-              "the spectrum tap is already fused into those reads "
-              "(probe_pfb_spec.py in-pipeline A/B: full 53.11 vs "
-              "no-spectrum 53.47 ms, identical within noise). Like "
-              "the flagship, the PFB sits on the bandwidth floor "
-              "(measured 2026-08-20).",
+              f"{pfb.get('idft')}; IDFT A/B {pfb.get('ab_idft_msps')}; "
+              f"demod {pfb.get('demod')})",
+              f"  - fused-vs-corner-turn A/B (this run): fused "
+              f"{pfb['value']} vs unfused {pfb_un['value']} Msps "
+              f"({pfb['ms_per_block']} vs {pfb_un['ms_per_block']} "
+              "ms/block).  The r5 pipeline (PFBRxPipeline) feeds the "
+              "demod the IDFT output planes time-major, so the "
+              "channel-major [4096, 16384] complex batch — whose "
+              "536 MB write + 536 MB re-read + 268 MB audio write was "
+              "the r4 pipeline's ~21 ms demod marginal — never "
+              "materializes in HBM.",
+              "  - Frozen r4 probe snapshot (2026-08-20, pre-fusion "
+              "pipeline): probe_pfb_demod.py timed each GroupedDemod "
+              "family standalone at [4096, 16384] — every marginal "
+              "<1 ms (FM arctan2 vs plain complex-diff +0.6), proving "
+              "the r4 in-pipeline demod cost was pure HBM traffic; "
+              "probe_pfb_spec.py A/B'd the spectrum tap as zero-cost "
+              "fused into the demod reads (53.11 vs 53.47 ms).  Those "
+              "point numbers describe the r4 corner-turn pipeline, "
+              "not the current fused one.",
               f"- {tx['metric']}: {tx['value']} {tx['unit']} "
               f"({tx['ms_per_block']} ms/block)",
               "",
@@ -810,9 +841,10 @@ def main():
               "I/Q on a channel-major axis and the step runs under "
               "shard_map.",
               "",
-              "Measured after the fix (3 independent runs 2026-08-20, "
-              "7/15/25 iters, 32 fixed channels strong / 16 "
-              "ch-per-device weak):",
+              "Frozen r4 probe snapshot — measured after the fix (3 "
+              "independent runs 2026-08-20, 7/15/25 iters, 32 fixed "
+              "channels strong / 16 ch-per-device weak; rerun "
+              "parallel/scaling.py to refresh):",
               "",
               "| devices | strong of-ideal (3 runs) | weak of-ideal (3 runs) |",
               "|---|---|---|",
@@ -820,8 +852,10 @@ def main():
               "| 4 | 125-171% | 178-207% |",
               "| 8 | **110-189%** | 202-252% |",
               "",
-              "Strong of-ideal no longer collapses — it stays >=100% at "
-              "every device count (r3: 55.7% @8).  Absolute numbers "
+              "Strong of-ideal no longer collapses — it stays at or "
+              "near ideal across device counts (>=96% at the range low "
+              "end at 2 devices, >=110% at 8; r3 had 55.7% @8).  "
+              "Absolute numbers "
               "remain smoke-only: on the shared-silicon virtual mesh "
               "the (max-min)/median spread exceeds the 25% quotability "
               "guard in every run (host contention), so the table "

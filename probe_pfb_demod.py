@@ -57,10 +57,14 @@ def fm_disc_only(state, xx):
 
 
 def fm_mag_only(state, xx):
-    # same memory traffic as the discriminator, no arctan2
+    # same memory traffic AND shape as the discriminator (prev-sample
+    # concat, full N columns), no arctan2 — mirrors discriminate exactly
+    # so the A/B isolates only the transcendental
     f, lo, hi = runs[-1]
+    prev, _ = state[-1]
     xs = xx[lo:hi]
-    d = xs[:, 1:] * jnp.conj(xs[:, :-1])
+    xm1 = jnp.concatenate([prev[:, None], xs[:, :-1]], axis=-1)
+    d = xs * jnp.conj(xm1)
     return state, jnp.sum(jnp.real(d)) + jnp.sum(jnp.imag(d))
 
 

@@ -121,12 +121,8 @@ class PFBChannelizer:
                 w = hrev[p]
                 ur = ur + fr[:, p:p + M] * w
                 ui = ui + fi[:, p:p + M] * w
-        if self.dft is not None:
-            yr, yi = self.dft.apply_ri(ur[..., ::-1], ui[..., ::-1])
-            y = jax.lax.complex(yr, yi)           # = K * ifft
-        else:
-            v = jax.lax.complex(ur[..., ::-1], ui[..., ::-1])
-            y = jnp.fft.ifft(v, axis=-1) * K      # [S, M, K]
+        yr, yi = self.idft_ri(ur[..., ::-1], ui[..., ::-1])
+        y = jax.lax.complex(yr, yi)               # = K * ifft  [S, M, K]
         ang = (2.0 * np.pi / K) * jnp.arange(K, dtype=jnp.float32)
         rot = jax.lax.complex(jnp.cos(ang), jnp.sin(ang)).astype(y.dtype)
         y = y * rot[None, None, :]
@@ -136,6 +132,13 @@ class PFBChannelizer:
     def channel_freqs(self, fs: float) -> np.ndarray:
         """Center frequency of each output channel (FFT bin order)."""
         return np.fft.fftfreq(self.n_chan, 1.0 / fs)
+
+    def idft_ri(self, vr: jnp.ndarray, vi: jnp.ndarray):
+        """Cross-branch unnormalized inverse DFT on (re, im) planes."""
+        if self.dft is not None:
+            return self.dft.apply_ri(vr, vi)
+        y = jnp.fft.ifft(jax.lax.complex(vr, vi), axis=-1) * self.n_chan
+        return jnp.real(y), jnp.imag(y)
 
 
 @struct.dataclass
@@ -186,7 +189,12 @@ class OversampledPFB:
         K = self.n_chan
         return np.zeros((streams, self.P * K - K // 2), np.complex64)
 
-    def __call__(self, hist, x: jnp.ndarray):
+    def poly_ri(self, hist, x: jnp.ndarray):
+        """Polyphase accumulation only: (hist, x [S, B]) ->
+        (new_hist, vr, vi) with v the pre-IDFT branch sums [S, n_out, K]
+        (time-major, commutator reversal already applied).  Split out so
+        :class:`PFBRxPipeline` can fuse demod consumption onto the IDFT
+        output without the channel-major corner turn."""
         S = x.shape[0]
         K, P = self.n_chan, self.P
         M = K // 2                                 # hop
@@ -232,20 +240,98 @@ class OversampledPFB:
                 halves_i.append(ui)
             vr = jnp.concatenate(halves_r, axis=-1)[..., ::-1]
             vi = jnp.concatenate(halves_i, axis=-1)[..., ::-1]
+        new_hist = ext[:, ext.shape[-1] - (P * K - M):]
+        return new_hist, vr, vi
+
+    def idft_ri(self, vr: jnp.ndarray, vi: jnp.ndarray):
+        """Cross-branch unnormalized inverse DFT on (re, im) planes."""
         if self.dft is not None:
-            yr, yi = self.dft.apply_ri(vr, vi)
-            y = jax.lax.complex(yr, yi)            # = K * ifft
-        else:
-            v = jax.lax.complex(vr, vi)
-            y = jnp.fft.ifft(v, axis=-1) * K       # [S, n_out, K]
-        # constant per-channel phase from the history alignment ...
+            return self.dft.apply_ri(vr, vi)
+        y = jnp.fft.ifft(jax.lax.complex(vr, vi), axis=-1) * self.n_chan
+        return jnp.real(y), jnp.imag(y)
+
+    def rotate_tm(self, yr: jnp.ndarray, yi: jnp.ndarray):
+        """Commutator phase corrections on time-major (re, im) planes
+        [..., n_out, K]: the constant per-channel history-alignment
+        phase and the exact (-1)^(c*m) half-frame hop parity (integer
+        parity, not cos(pi*c*m) — float cos of large multiples of pi
+        drifts)."""
+        K = self.n_chan
+        M = K // 2
+        n_out = yr.shape[-2]
         c_idx = jnp.arange(K)
         ang0 = (2.0 * np.pi / K) * c_idx.astype(jnp.float32) * (M - 1)
-        rot0 = jax.lax.complex(jnp.cos(ang0), -jnp.sin(ang0)).astype(y.dtype)
-        # ... and the exact (-1)^(c*m) half-frame hop term (integer parity,
-        # not cos(pi*c*m) — float cos of large multiples of pi drifts)
+        rr = jnp.cos(ang0)
+        ri = -jnp.sin(ang0)
         sign = (1 - 2 * ((jnp.arange(n_out)[:, None] * c_idx[None, :]) % 2)
                 ).astype(jnp.float32)
-        y = y * rot0[None, None, :] * sign[None, :, :].astype(y.dtype)
-        new_hist = ext[:, ext.shape[-1] - (P * K - M):]
+        zr = (yr * rr - yi * ri) * sign
+        zi = (yr * ri + yi * rr) * sign
+        return zr, zi
+
+    def __call__(self, hist, x: jnp.ndarray):
+        new_hist, vr, vi = self.poly_ri(hist, x)
+        yr, yi = self.idft_ri(vr, vi)
+        zr, zi = self.rotate_tm(yr, yi)
+        y = jax.lax.complex(zr, zi)                # [S, n_out, K]
         return new_hist, jnp.moveaxis(y, 1, 2)     # [S, K, n_out]
+
+
+@struct.dataclass
+class PFBRxPipeline:
+    """Oversampled PFB -> IDFT -> grouped demod, fused TIME-MAJOR.
+
+    The r4 pipeline ran ``OversampledPFB`` (which corner-turns its output
+    to channel-major [S, K, n_out]) and then ``GroupedDemod`` over the
+    [K, n_out] batch: at the 4096-ch x 16384-sample flagship shape the
+    turn + re-read is a 536 MB write + 536 MB read + 268 MB audio write
+    of pure HBM traffic for demod compute that measures <1 ms standalone
+    (probe_pfb_demod.py, BENCH_DETAIL r4).  Here the demod consumes the
+    IDFT matmul's output planes in their native [S, n_out, K] layout via
+    :class:`~quisk_tpu.ops.demod.GroupedDemodTM`: the commutator phase
+    fixes and every per-family elementwise stage fuse into the reads, the
+    one-pole IIRs run time-major chunked on the MXU, and the per-channel
+    power spectrum is a fused reduction over the time axis — the
+    channel-major complex batch NEVER materializes.
+
+    Outputs per step: audio [S, n_out, K] f32 (time-major — lanes are
+    channels; pick columns for individual receivers) and per-channel
+    power [S, K].  Parity: the reference's channelizer-style multi-RX
+    runs decimate+demod per bank without materializing intermediates
+    (quisk.c:2517-2652); this is the same fusion at 4096-channel scale.
+    """
+
+    pfb: OversampledPFB
+    demod: Any
+    with_spectrum: bool = struct.field(pytree_node=False, default=True)
+
+    @classmethod
+    def create(cls, n_chan: int, block: int, mode, channel_rate: float,
+               taps_per_branch: int = 8, atten_db: float = 90.0,
+               mxu_dft: bool = True, pallas_poly: bool = False,
+               fm_deviation_hz: float = 5000.0, with_spectrum: bool = True):
+        from quisk_tpu.ops.demod import GroupedDemodTM
+        pfb = OversampledPFB.create(n_chan, block,
+                                    taps_per_branch=taps_per_branch,
+                                    atten_db=atten_db, mxu_dft=mxu_dft,
+                                    pallas_poly=pallas_poly)
+        demod = GroupedDemodTM.create(mode, sample_rate=channel_rate,
+                                      channels=n_chan,
+                                      fm_deviation_hz=fm_deviation_hz)
+        return cls(pfb=pfb, demod=demod, with_spectrum=with_spectrum)
+
+    def init_state(self, streams: int):
+        return (self.pfb.init_state(streams),
+                self.demod.init_state(self.pfb.n_chan, lead=(streams,)))
+
+    def __call__(self, state, x: jnp.ndarray):
+        """x [S, B] complex -> ((pfb_st, dm_st), (audio, spec))."""
+        pfb_st, dm_st = state
+        pfb_st, vr, vi = self.pfb.poly_ri(pfb_st, x)
+        yr, yi = self.pfb.idft_ri(vr, vi)
+        zr, zi = self.pfb.rotate_tm(yr, yi)
+        dm_st, audio = self.demod(dm_st, zr, zi)       # [S, n_out, K]
+        spec = (jnp.mean(zr * zr + zi * zi, axis=-2)
+                if self.with_spectrum else jnp.zeros((x.shape[0], 1),
+                                                     jnp.float32))
+        return (pfb_st, dm_st), (audio, spec)

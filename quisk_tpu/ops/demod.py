@@ -296,3 +296,97 @@ class GroupedDemod:
             new_states.append(st)
             outs.append(a)
         return tuple(new_states), jnp.concatenate(outs, axis=0)
+
+
+@struct.dataclass
+class GroupedDemodTM:
+    """Time-major grouped demod over (re, im) float planes ``[..., T, C]``.
+
+    The channelizer-scale variant of :class:`GroupedDemod`: it consumes
+    the PFB IDFT's matmul output IN ITS NATIVE LAYOUT — time on axis -2,
+    channels on the lanes, real/imag as separate f32 planes — so the
+    pipeline never materializes the [K, T] channel-major complex batch
+    that cost the r4 PFB a 536+268 MB HBM round trip (BENCH_DETAIL r4;
+    the demod *compute* is <1 ms/family, probe_pfb_demod.py).  Same math
+    as GroupedDemod per family (reference per-mode switch
+    quisk.c:1909-2153):
+
+    - SSB/CW: audio = gain * re
+    - AM: envelope + DC blocker (time-major chunked-MXU one-pole)
+    - FM: phase-difference discriminator + 300 Hz de-emphasis
+
+    All state is real f32 (FM's previous sample is carried as an
+    (re, im) pair), so nothing complex ever approaches the host<->device
+    boundary.  Lead dims (e.g. the stream axis) broadcast through.
+    """
+
+    am_dc: "object"            # DCBlock
+    fm_deemph: "object"        # OnePole
+    ssb_gain: jnp.ndarray
+    am_gain: jnp.ndarray
+    fm_gain: jnp.ndarray
+    runs: tuple = struct.field(pytree_node=False)   # ((family, lo, hi), ...)
+
+    @classmethod
+    def create(cls, mode, sample_rate: float, channels: int,
+               fm_deviation_hz: float = 5000.0, gain: float = 2.0,
+               deemph_hz: float = 300.0, am_pole: float = 0.995):
+        from quisk_tpu.ops.iir import DCBlock, OnePole
+        m = np.broadcast_to(np.asarray(mode, np.int32), (channels,))
+        fam = np.asarray([GroupedDemod._FAMS.get(int(v), "ssb") for v in m])
+        edges = [0] + [i for i in range(1, channels)
+                       if fam[i] != fam[i - 1]] + [channels]
+        runs = tuple((str(fam[lo]), lo, hi)
+                     for lo, hi in zip(edges[:-1], edges[1:]))
+        g_fm = sample_rate / (2.0 * np.pi * fm_deviation_hz)
+        return cls(am_dc=DCBlock.create(am_pole),
+                   fm_deemph=OnePole.lowpass(deemph_hz, sample_rate),
+                   ssb_gain=jnp.asarray(gain, jnp.float32),
+                   am_gain=jnp.asarray(gain, jnp.float32),
+                   fm_gain=jnp.asarray(g_fm, jnp.float32),
+                   runs=runs)
+
+    def init_state(self, channels: int, lead: tuple = ()):
+        sts = []
+        for f, lo, hi in self.runs:
+            n = hi - lo
+            z = np.zeros((*lead, n), np.float32)
+            if f == "ssb":
+                sts.append(())
+            elif f == "am":
+                sts.append((z, z.copy()))              # (x_prev, y_prev)
+            else:                                       # fm
+                sts.append((z, z.copy(), z.copy()))     # (pr, pi, deemph y)
+        return tuple(sts)
+
+    def _ssb(self, st, yr, yi):
+        return st, self.ssb_gain * yr
+
+    def _am(self, st, yr, yi):
+        env = jnp.sqrt(yr * yr + yi * yi)
+        st, audio = self.am_dc.apply_tm(st, env)
+        return st, self.am_gain * audio
+
+    def _fm(self, st, yr, yi):
+        pr, pi, de = st
+        # d[t] = y[t] * conj(y[t-1]) along the time axis (rows)
+        xr1 = jnp.concatenate([pr[..., None, :], yr[..., :-1, :]], axis=-2)
+        xi1 = jnp.concatenate([pi[..., None, :], yi[..., :-1, :]], axis=-2)
+        dr = yr * xr1 + yi * xi1
+        di = yi * xr1 - yr * xi1
+        # same vanishing-magnitude gate as FMDemod.discriminate (|d| on
+        # squared magnitudes: 1e-24 is comfortably inside f32 normals)
+        disc = jnp.where(dr * dr + di * di > 1e-24,
+                         jnp.arctan2(di, dr), 0.0)
+        de, audio = self.fm_deemph.apply_tm(de, disc * self.fm_gain)
+        return (yr[..., -1, :], yi[..., -1, :], de), audio
+
+    def __call__(self, state, yr: jnp.ndarray, yi: jnp.ndarray):
+        """(state, yr, yi) -> (state, audio [..., T, C])."""
+        new_states, outs = [], []
+        for st, (f, lo, hi) in zip(state, self.runs):
+            st, a = getattr(self, "_" + f)(st, yr[..., lo:hi],
+                                           yi[..., lo:hi])
+            new_states.append(st)
+            outs.append(a)
+        return tuple(new_states), jnp.concatenate(outs, axis=-1)

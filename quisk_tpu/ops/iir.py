@@ -93,6 +93,73 @@ def _first_order_chunked(x: jnp.ndarray, a, b, y_prev: jnp.ndarray,
     return y.reshape(C, B)
 
 
+def _first_order_scan_tm(x: jnp.ndarray, a, b,
+                         y_prev: jnp.ndarray) -> jnp.ndarray:
+    """Time-major twin of :func:`_first_order_scan`.
+
+    x: [..., T, C] with TIME on axis -2 and channels riding the lanes —
+    the layout the PFB's IDFT matmul produces ([n_out, K]); running the
+    recurrence here avoids the [K, n_out] corner turn that cost the r4
+    pipeline a full-batch HBM round trip.  a, b scalar; y_prev [..., C].
+    Chunked-MXU path for long T (each chunk is a [L, L] x [L, C] matmul —
+    the lane axis is the SIMD width, better MXU utilization than the
+    channel-major [C, nch, L] x [L, L] form); associative scan otherwise.
+    """
+    a_arr = jnp.asarray(a)
+    T = x.shape[-2]
+    if a_arr.ndim == 0 and T >= 2048 and T % 128 == 0:
+        return _first_order_chunked_tm(x, a_arr, b, y_prev)
+    A = jnp.broadcast_to(jnp.asarray(a, x.dtype), x.shape)
+    Bv = jnp.asarray(b, x.dtype) * x
+
+    def combine(lhs, rhs):
+        a1, b1 = lhs
+        a2, b2 = rhs
+        return a2 * a1, a2 * b1 + b2
+
+    A_cum, B_cum = jax.lax.associative_scan(combine, (A, Bv), axis=-2)
+    return B_cum + A_cum * y_prev[..., None, :]
+
+
+def _first_order_chunked_tm(x: jnp.ndarray, a, b, y_prev: jnp.ndarray,
+                            L: int = 128) -> jnp.ndarray:
+    """Chunked y[n] = a*y[n-1] + b*x[n] over axis -2 (time-major).
+
+    Same triangular-decay factorization as :func:`_first_order_chunked`;
+    the within-chunk pass is einsum("...jlc,nl->...jnc") — an [L, L] x
+    [L, C] matmul per chunk with channels on the lanes."""
+    T, C = x.shape[-2:]
+    lead = x.shape[:-2]
+    nch = T // L
+    A = a.astype(x.dtype)
+    u = (jnp.asarray(b, x.dtype) * x).reshape(*lead, nch, L, C)
+    n = jnp.arange(L)
+    d = n[:, None] - n[None, :]
+    dm = jnp.maximum(d, 0).astype(x.dtype)
+    sgn = jnp.where(A < 0, -1.0, 1.0).astype(x.dtype)
+    mag = jnp.abs(A)
+    pw = (mag ** dm) * jnp.where(dm % 2 == 0, 1.0, sgn)
+    Tm = jnp.where(d >= 0, pw, 0.0)
+    yin = jnp.einsum("...jlc,nl->...jnc", u, Tm,
+                     precision=jax.lax.Precision.HIGHEST)
+    e = yin[..., :, -1, :]                              # [..., nch, C]
+    aL = (mag ** L) * (sgn ** (L % 2) if L % 2 else 1.0)
+    Aj = jnp.full((*lead, nch, C), aL, x.dtype)
+
+    def combine(lhs, rhs):
+        a1, b1 = lhs
+        a2, b2 = rhs
+        return a2 * a1, a2 * b1 + b2
+
+    Acum, Ecum = jax.lax.associative_scan(combine, (Aj, e), axis=-2)
+    s = Ecum + Acum * y_prev[..., None, :]              # chunk end states
+    c = jnp.concatenate([y_prev[..., None, :], s[..., :-1, :]], axis=-2)
+    n1 = (n + 1).astype(x.dtype)
+    decay = (mag ** n1) * jnp.where((n + 1) % 2 == 0, 1.0, sgn)   # [L]
+    y = yin + c[..., :, None, :] * decay[:, None]
+    return y.reshape(*lead, T, C)
+
+
 @struct.dataclass
 class OnePole:
     """y[n] = a*y[n-1] + b*x[n].  Lowpass: a = exp(-2 pi fc / fs), b = 1-a."""
@@ -111,6 +178,11 @@ class OnePole:
     def __call__(self, y_prev: jnp.ndarray, x: jnp.ndarray):
         y = _first_order_scan(x, self.a, self.b, y_prev)
         return y[:, -1], y
+
+    def apply_tm(self, y_prev: jnp.ndarray, x: jnp.ndarray):
+        """Time-major form: x [..., T, C], y_prev [..., C]."""
+        y = _first_order_scan_tm(x, self.a, self.b, y_prev)
+        return y[..., -1, :], y
 
 
 @struct.dataclass
@@ -135,6 +207,14 @@ class DCBlock:
         d = x - jnp.concatenate([x_prev[:, None], x[:, :-1]], axis=-1)
         y = _first_order_scan(d, self.a, 1.0, y_prev)
         return (x[:, -1], y[:, -1]), y
+
+    def apply_tm(self, state, x: jnp.ndarray):
+        """Time-major form: x [..., T, C], state pair [..., C] each."""
+        x_prev, y_prev = state
+        d = x - jnp.concatenate([x_prev[..., None, :], x[..., :-1, :]],
+                                axis=-2)
+        y = _first_order_scan_tm(d, self.a, 1.0, y_prev)
+        return (x[..., -1, :], y[..., -1, :]), y
 
 
 @struct.dataclass

@@ -139,3 +139,59 @@ def test_pallas_poly_matches_views(cls_name):
         sb, yb = b(sb, jnp.asarray(x))
         err = float(jnp.max(jnp.abs(ya - yb)))
         assert err < 1e-4, (cls_name, err)
+
+
+def test_pfb_rx_pipeline_matches_unfused():
+    """PFBRxPipeline (time-major fused demod) == OversampledPFB +
+    channel-major GroupedDemod, audio transposed — streaming state,
+    spectrum, and all three demod families included."""
+    from quisk_tpu.modes import Mode
+    from quisk_tpu.ops.channelizer import OversampledPFB, PFBRxPipeline
+    from quisk_tpu.ops.demod import GroupedDemod
+
+    S, nblk = 2, 3
+    modes = [int(Mode.USB), int(Mode.LSB), int(Mode.AM), int(Mode.FM)]
+    mode_vec = [modes[(4 * i) // K] for i in range(K)]
+    ch_rate = 2.0 * FS / K
+    pipe = PFBRxPipeline.create(K, B, mode_vec, channel_rate=ch_rate,
+                                mxu_dft=False)
+    pfb = OversampledPFB.create(K, B, taps_per_branch=8)
+    dm = GroupedDemod.create(mode_vec, sample_rate=ch_rate, channels=K)
+
+    rng = np.random.default_rng(3)
+    st_f = pipe.init_state(S)
+    st_p, st_d = pfb.init_state(S), [dm.init_state(K) for _ in range(S)]
+    for _ in range(nblk):
+        x = (rng.standard_normal((S, B))
+             + 1j * rng.standard_normal((S, B))).astype(np.complex64)
+        st_f, (audio_tm, spec) = pipe(st_f, jnp.asarray(x))
+        st_p, ch = pfb(st_p, jnp.asarray(x))          # [S, K, n_out]
+        for s in range(S):
+            st_d[s], a_cm = dm(st_d[s], ch[s])        # [K, n_out]
+            got = np.asarray(audio_tm)[s].T           # [K, n_out]
+            err = np.max(np.abs(got - np.asarray(a_cm)))
+            assert err < 2e-4, (s, err)
+            sp_ref = np.mean(np.abs(np.asarray(ch)[s]) ** 2, axis=-1)
+            assert np.allclose(np.asarray(spec)[s], sp_ref, rtol=1e-4,
+                               atol=1e-6)
+
+
+def test_pfb_rx_pipeline_mxu_dft_close():
+    """Fused pipeline with the MXU matmul IDFT stays within the f32
+    matmul-vs-fft error budget of the fft variant."""
+    from quisk_tpu.modes import Mode
+    from quisk_tpu.ops.channelizer import PFBRxPipeline
+
+    mode_vec = [int(Mode.AM)] * (K // 2) + [int(Mode.FM)] * (K // 2)
+    a = PFBRxPipeline.create(K, B, mode_vec, channel_rate=2 * FS / K,
+                             mxu_dft=False)
+    b = PFBRxPipeline.create(K, B, mode_vec, channel_rate=2 * FS / K,
+                             mxu_dft=True)
+    rng = np.random.default_rng(4)
+    x = (rng.standard_normal((1, B))
+         + 1j * rng.standard_normal((1, B))).astype(np.complex64)
+    sa, sb = a.init_state(1), b.init_state(1)
+    sa, (au_a, sp_a) = a(sa, jnp.asarray(x))
+    sb, (au_b, sp_b) = b(sb, jnp.asarray(x))
+    assert np.allclose(np.asarray(au_a), np.asarray(au_b), atol=2e-3)
+    assert np.allclose(np.asarray(sp_a), np.asarray(sp_b), rtol=1e-3)

@@ -68,3 +68,47 @@ def test_first_order_chunked_matches_scan():
         ys = np.concatenate(ys, axis=-1)
         err = np.max(np.abs(yc - ys)) / max(1e-9, np.max(np.abs(ys)))
         assert err < 5e-6, (a, err)
+
+
+def test_first_order_time_major_matches_channel_major():
+    """_first_order_scan_tm == _first_order_scan transposed, on both the
+    chunked-MXU path (T >= 2048) and the associative-scan path."""
+    import jax.numpy as jnp
+    from quisk_tpu.ops.iir import _first_order_scan, _first_order_scan_tm
+
+    rng = np.random.default_rng(0)
+    for T in (2048, 384):                 # chunked and scan paths
+        x = rng.standard_normal((8, T)).astype(np.float32)
+        y0 = rng.standard_normal(8).astype(np.float32)
+        a, b = 0.97, 0.03
+        ref = _first_order_scan(jnp.asarray(x), a, b, jnp.asarray(y0))
+        tm = _first_order_scan_tm(jnp.asarray(x.T), a, b, jnp.asarray(y0))
+        assert np.allclose(np.asarray(tm).T, np.asarray(ref), atol=2e-4)
+
+
+def test_onepole_dcblock_time_major_with_lead_dims():
+    """apply_tm handles leading batch dims and carries state across
+    blocks identically to the channel-major form."""
+    import jax.numpy as jnp
+    from quisk_tpu.ops.iir import DCBlock, OnePole
+
+    rng = np.random.default_rng(1)
+    op = OnePole.lowpass(300.0, 48000.0)
+    dc = DCBlock.create(0.995)
+    S, C, B = 2, 4, 256
+    x = rng.standard_normal((S, C, 2 * B)).astype(np.float32)
+    for s in range(S):
+        st_cm = op.init_state(C)
+        st_tm = jnp.zeros((C,), jnp.float32)
+        dcs_cm = dc.init_state(C)
+        dcs_tm = (jnp.zeros((C,)), jnp.zeros((C,)))
+        for blk in range(2):
+            xb = jnp.asarray(x[s, :, blk * B:(blk + 1) * B])
+            st_cm, y_cm = op(st_cm, xb)
+            st_tm, y_tm = op.apply_tm(st_tm, xb.T)
+            assert np.allclose(np.asarray(y_tm).T, np.asarray(y_cm),
+                               atol=1e-5)
+            dcs_cm, d_cm = dc(dcs_cm, xb)
+            dcs_tm, d_tm = dc.apply_tm(dcs_tm, xb.T)
+            assert np.allclose(np.asarray(d_tm).T, np.asarray(d_cm),
+                               atol=1e-5)
