@@ -349,7 +349,7 @@ def bench_nfm_stages(iters: int = 20) -> list[dict]:
 
 
 # ----------------------------------------------------------------- PFB
-def bench_pfb(iters: int = 20, K: int = 4096, mult: int = 8192,
+def bench_pfb(iters: int = 20, K: int = 4096, mult: int | None = None,
               mxu_dft: bool | None = None, fused: bool = True) -> dict:
     """BASELINE config #5 engine: 4096-channel 2x-oversampled PFB
     channelizer + mixed demod + per-channel power spectrum, single chip.
@@ -369,7 +369,18 @@ def bench_pfb(iters: int = 20, K: int = 4096, mult: int = 8192,
     from quisk_tpu.ops.demod import GroupedDemod
     from quisk_tpu.utils.boundary import make_boundary_step, pack_tree
 
+    if mult is None:
+        # dispatch-floor amortization sweep: the r5 prefix profile put
+        # whole-pipeline COMPUTE at ~15.5 ms for 33.5 M samples while the
+        # contended tunnel floor alone was ~27 ms — doubling the block
+        # per dispatch halves the floor share (the PFB analogue of the
+        # flagship's blocks-per-dispatch sweep)
+        cands = [bench_pfb(iters, K, m, mxu_dft, fused)
+                 for m in ((8192, 16384) if fused else (8192,))]
+        return max(cands, key=lambda r: r["value"])
     if mxu_dft is None:
+        if fused:        # the Pallas path owns its stage split; no A/B
+            return bench_pfb(iters, K, mult, mxu_dft=True, fused=True)
         a = bench_pfb(iters, K, mult, mxu_dft=False, fused=fused)
         b = bench_pfb(iters, K, mult, mxu_dft=True, fused=fused)
         win = max((a, b), key=lambda r: r["value"])
@@ -394,9 +405,13 @@ def bench_pfb(iters: int = 20, K: int = 4096, mult: int = 8192,
     mode_vec = [modes[(4 * i) // K] for i in range(K)]
 
     if fused:
+        # r5: stage-2 IDFT + demod + spectrum as ONE Pallas kernel — the
+        # XLA time-major arrangement measured within noise of the r4
+        # corner turn (53.7 vs 54.2 ms same-window) because dot-output
+        # materialization, not demod reads, bounds the XLA pipeline
         pipe = PFBRxPipeline.create(K, B, mode_vec,
                                     channel_rate=2.0 * 48000.0,
-                                    mxu_dft=mxu_dft, pallas_poly=True)
+                                    pallas_poly=True, pallas_demod=True)
 
         def fn(st, x):
             return pipe(st, x)
@@ -443,8 +458,10 @@ def bench_pfb(iters: int = 20, K: int = 4096, mult: int = 8192,
         "vs_baseline": round(msps / BASELINE_MSPS, 1),
         "ms_per_block": round(dt * 1e3, 2),
         "dispatch_floor_pct": round(100.0 * floor / dt, 1),
-        "idft": "mxu_matmul" if mxu_dft else "fft",
-        "demod": "fused time-major" if fused else "corner-turn (r4)",
+        "idft": ("pallas stage-2" if fused
+                 else ("mxu_matmul" if mxu_dft else "fft")),
+        "demod": "pallas fused kernel" if fused else "corner-turn (r4)",
+        "samples_per_dispatch": S * B,
     }
 
 
@@ -723,9 +740,9 @@ def main():
     nfm = bench_nfm(iters=it)
     nfm_stages = bench_nfm_stages(iters=it)
     pfb = bench_pfb(iters=it)
-    # same-window A/B against the r4 corner-turn pipeline (winner IDFT)
-    pfb_un = bench_pfb(iters=max(3, it // 2),
-                       mxu_dft=pfb["idft"] == "mxu_matmul", fused=False)
+    # same-window A/B against the r4 corner-turn pipeline (mxu IDFT —
+    # the r4 A/B winner at this shape)
+    pfb_un = bench_pfb(iters=max(3, it // 2), mxu_dft=True, fused=False)
     tx = bench_tx(iters=it)
     for extra in (feat, nfm, pfb, pfb_un, tx):
         print(json.dumps(extra))
@@ -876,7 +893,7 @@ def main():
         import sys
         out = subprocess.run(
             [sys.executable, "/root/repo/bench_ingest.py", "--detail-json"],
-            capture_output=True, text=True, timeout=900, check=True,
+            capture_output=True, text=True, timeout=1800, check=True,
             env={k: v for k, v in os.environ.items()
                  if not k.startswith("JAX")})
         ing = json.loads(out.stdout.strip().splitlines()[-1])

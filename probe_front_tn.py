@@ -55,13 +55,14 @@ def timed_chain(nb: bool, budget, iters=16, nblk=8):
     return tn, dt / nblk
 
 
-for nb, budgets in ((False, [None, 20 << 20, 28 << 20, 45 << 20]),
-                    (True, [None, 20 << 20, 28 << 20])):
-    for b in budgets:
-        try:
-            tn, ms = timed_chain(nb, b)
-            print(f"nb={nb} budget={'dflt' if b is None else b >> 20}MB "
-                  f"-> TN={tn}: {ms*1e3:.3f} ms/block", flush=True)
-        except Exception as e:
-            print(f"nb={nb} budget={b and b >> 20}MB FAIL: "
-                  f"{str(e).splitlines()[0][:110]}", flush=True)
+if __name__ == "__main__":
+    for nb, budgets in ((False, [None, 20 << 20, 28 << 20, 45 << 20]),
+                        (True, [None, 20 << 20, 28 << 20])):
+        for b in budgets:
+            try:
+                tn, ms = timed_chain(nb, b)
+                print(f"nb={nb} budget={'dflt' if b is None else b >> 20}MB "
+                      f"-> TN={tn}: {ms*1e3:.3f} ms/block", flush=True)
+            except Exception as e:
+                print(f"nb={nb} budget={b and b >> 20}MB FAIL: "
+                      f"{str(e).splitlines()[0][:110]}", flush=True)

@@ -303,35 +303,176 @@ class PFBRxPipeline:
 
     pfb: OversampledPFB
     demod: Any
+    #: Pallas kernel constant arrays (None on the XLA path): (w1 triple,
+    #: folded twiddle pair, folded w2 Karatsuba triple, am/fm masks in
+    #: kernel position order, IIR triangular mats, decay columns)
+    kd: Any = None
     with_spectrum: bool = struct.field(pytree_node=False, default=True)
+    #: run the cross-branch IDFT stage-2 + demod as ONE Pallas kernel
+    #: (ops/pallas_kernels.pfb_demod_call).  Measured rationale: the XLA
+    #: time-major path is bounded by dot-output materialization (every
+    #: Karatsuba intermediate round-trips HBM), not by demod reads —
+    #: same-window A/B vs the r4 corner turn was 53.7 vs 54.2 ms/block.
+    pallas_demod: bool = struct.field(pytree_node=False, default=False)
+    TT: int = struct.field(pytree_node=False, default=64)
+    K1: int = struct.field(pytree_node=False, default=0)
+    K2: int = struct.field(pytree_node=False, default=128)
+    g_ssb: float = struct.field(pytree_node=False, default=2.0)
+    g_am: float = struct.field(pytree_node=False, default=2.0)
+    g_fm: float = struct.field(pytree_node=False, default=1.0)
+    b_de: float = struct.field(pytree_node=False, default=0.0)
 
     @classmethod
     def create(cls, n_chan: int, block: int, mode, channel_rate: float,
                taps_per_branch: int = 8, atten_db: float = 90.0,
                mxu_dft: bool = True, pallas_poly: bool = False,
-               fm_deviation_hz: float = 5000.0, with_spectrum: bool = True):
+               fm_deviation_hz: float = 5000.0, with_spectrum: bool = True,
+               pallas_demod: bool = False, TT: int = 64):
         from quisk_tpu.ops.demod import GroupedDemodTM
         pfb = OversampledPFB.create(n_chan, block,
                                     taps_per_branch=taps_per_branch,
-                                    atten_db=atten_db, mxu_dft=mxu_dft,
+                                    atten_db=atten_db,
+                                    mxu_dft=mxu_dft and not pallas_demod,
                                     pallas_poly=pallas_poly)
         demod = GroupedDemodTM.create(mode, sample_rate=channel_rate,
                                       channels=n_chan,
                                       fm_deviation_hz=fm_deviation_hz)
-        return cls(pfb=pfb, demod=demod, with_spectrum=with_spectrum)
+        if not pallas_demod:
+            return cls(pfb=pfb, demod=demod, with_spectrum=with_spectrum)
+        K2 = 128
+        K1 = n_chan // K2
+        n_out = 2 * block // n_chan
+        while TT > 8 and n_out % TT:      # clamp the tile to the block
+            TT //= 2
+        if n_chan % K2 or K1 % 2 or n_out % TT:
+            raise ValueError("pallas_demod needs K % 128 == 0, even K/128 "
+                             "and TT | 2*block/K")
+        K = n_chan
+        M = K // 2
+        n1 = np.arange(K1)
+        n2 = np.arange(K2)
+        # inverse-DFT stage bases (unnormalized, = K * ifft) with the
+        # commutator rotation e^{-2pi i c (M-1)/K} FOLDED IN: it is
+        # separable over c = c1 + K1*c2 into a per-c1 factor (-> twiddle
+        # rows) and a per-c2 factor (-> w2 columns); the (-1)^(m c)
+        # parity is applied in-kernel (it reduces to parity(m)*parity(c1)
+        # since K1 is even)
+        W1 = np.exp(2j * np.pi * np.outer(n1, n1) / K1)         # [n1, c1]
+        tw = (np.exp(2j * np.pi * np.outer(n1, n2) / K)         # [c1, n2]
+              * np.exp(-2j * np.pi * n1 * (M - 1) / K)[:, None])
+        W2 = (np.exp(2j * np.pi * np.outer(n2, n2) / K2)        # [n2, c2]
+              * np.exp(-2j * np.pi * n2 * (M - 1) / K2)[None, :])
+
+        def triple(Mx):
+            r = jnp.asarray(Mx.real, jnp.float32)
+            i = jnp.asarray(Mx.imag, jnp.float32)
+            return r, i, r + i
+
+        # stage-1 as ONE real dot: LHS = [ar; ai] stacked along n1 (an
+        # XLA input fusion — no materialized Karatsuba intermediates:
+        # the 3-dot form round-tripped ~2.7 GB of t1/t2/t3 planes),
+        # weights [[w1r, w1i], [-w1i, w1r]] emit (br | bi) stacked
+        # along the output column dim
+        w1x = np.block([[W1.real, W1.imag], [-W1.imag, W1.real]])
+
+        # per-channel mode masks at kernel position p = c1*K2 + c2
+        # (channel c = c1 + K1*c2 — the digit-reversal layout the
+        # lane-aligned stage-2 dot produces; see chan_perm)
+        from quisk_tpu.modes import Mode
+        mvec = np.broadcast_to(np.asarray(mode, np.int32), (K,))
+        pos_c = (np.arange(K1)[:, None] + K1 * np.arange(K2)[None, :])
+        am_m = jnp.asarray(mvec[pos_c] == int(Mode.AM), jnp.float32)
+        fm_m = jnp.asarray(mvec[pos_c] == int(Mode.FM), jnp.float32)
+        # IIR constants (triangular chunk matmuls; chunk == tile == TT)
+        a_dc = float(np.asarray(demod.am_dc.a))
+        a_de = float(np.asarray(demod.fm_deemph.a))
+        b_de = float(np.asarray(demod.fm_deemph.b))
+        t = np.arange(TT)
+        dmat = t[:, None] - t[None, :]
+
+        def tri(a):
+            return jnp.asarray(np.where(dmat >= 0, a ** np.maximum(dmat, 0),
+                                        0.0), jnp.float32)
+
+        dec = np.zeros((TT, 128), np.float32)
+        dec[:, 0] = a_dc ** (t + 1)
+        dec[:, 1] = a_de ** (t + 1)
+        kd = (jnp.asarray(w1x, jnp.float32),
+              (jnp.asarray(tw.real, jnp.float32),
+               jnp.asarray(tw.imag, jnp.float32)),
+              triple(W2), am_m, fm_m, tri(a_dc), tri(a_de),
+              jnp.asarray(dec))
+        return cls(pfb=pfb, demod=demod, kd=kd,
+                   with_spectrum=with_spectrum, pallas_demod=True, TT=TT,
+                   K1=K1, K2=K2,
+                   g_ssb=float(np.asarray(demod.ssb_gain)),
+                   g_am=float(np.asarray(demod.am_gain)),
+                   g_fm=float(np.asarray(demod.fm_gain)), b_de=b_de)
+
+    @property
+    def chan_perm(self) -> np.ndarray:
+        """pallas_demod audio layout: column p holds IFFT-bin channel
+        chan_perm[p] (flat view of the [n_out*K1, K2] output)."""
+        p = np.arange(self.K1 * self.K2)
+        return (p // self.K2) + self.K1 * (p % self.K2)
+
+    @property
+    def chan_pos(self) -> np.ndarray:
+        """Inverse of chan_perm: channel c sits at column chan_pos[c]."""
+        c = np.arange(self.K1 * self.K2)
+        return (c % self.K1) * self.K2 + c // self.K1
 
     def init_state(self, streams: int):
-        return (self.pfb.init_state(streams),
-                self.demod.init_state(self.pfb.n_chan, lead=(streams,)))
+        if self.pallas_demod:
+            dm = np.zeros((streams, 5 * self.K1, self.K2), np.float32)
+        else:
+            dm = self.demod.init_state(self.pfb.n_chan, lead=(streams,))
+        return (self.pfb.init_state(streams), dm)
 
     def __call__(self, state, x: jnp.ndarray):
-        """x [S, B] complex -> ((pfb_st, dm_st), (audio, spec))."""
+        """x [S, B] complex -> ((pfb_st, dm_st), (audio, spec)).
+
+        XLA path: audio [S, n_out, K] time-major, channels in IFFT-bin
+        order.  pallas_demod path: audio [S, n_out*K1, K2] — the flat
+        per-row layout is the PERMUTED channel order ``chan_perm`` (use
+        ``chan_pos[c]`` to pick channel c); spec is unpermuted [S, K].
+        """
         pfb_st, dm_st = state
         pfb_st, vr, vi = self.pfb.poly_ri(pfb_st, x)
-        yr, yi = self.pfb.idft_ri(vr, vi)
-        zr, zi = self.pfb.rotate_tm(yr, yi)
-        dm_st, audio = self.demod(dm_st, zr, zi)       # [S, n_out, K]
-        spec = (jnp.mean(zr * zr + zi * zi, axis=-2)
-                if self.with_spectrum else jnp.zeros((x.shape[0], 1),
-                                                     jnp.float32))
-        return (pfb_st, dm_st), (audio, spec)
+        if not self.pallas_demod:
+            yr, yi = self.pfb.idft_ri(vr, vi)
+            zr, zi = self.pfb.rotate_tm(yr, yi)
+            dm_st, audio = self.demod(dm_st, zr, zi)   # [S, n_out, K]
+            spec = (jnp.mean(zr * zr + zi * zi, axis=-2)
+                    if self.with_spectrum else jnp.zeros((x.shape[0], 1),
+                                                         jnp.float32))
+            return (pfb_st, dm_st), (audio, spec)
+        from quisk_tpu.ops.pallas_kernels import pfb_demod_call
+        S, n_out, K = vr.shape
+        K1, K2 = self.K1, self.K2
+        w1x, (twr, twi), (w2r, w2i, w2s), am_m, fm_m, \
+            tdc, tde, dec = self.kd
+        hp = jax.lax.Precision.HIGHEST
+        ar = vr.reshape(S, n_out, K1, K2)
+        ai = vi.reshape(S, n_out, K1, K2)
+        # stage 1 (XLA): ONE real dot on the [ar; ai] n1-stack — the
+        # concat is an input fusion, the output columns are (br | bi)
+        av = jnp.concatenate([ar, ai], axis=-2)       # [.., 2K1, K2]
+        bb = jnp.einsum("...nk,nc->...ck", av, w1x, precision=hp)
+        bb = bb.reshape(S, n_out * 2 * K1, K2)
+        interp = jax.default_backend() != "tpu"
+        auds, specs, sts = [], [], []
+        for s in range(S):
+            a, sp, st2 = pfb_demod_call(
+                bb[s], dm_st[s], twr, twi, w2r, w2i, w2s,
+                am_m, fm_m, tdc, tde, dec, TT=self.TT, K1=K1, K2=K2,
+                g_ssb=self.g_ssb, g_am=self.g_am, g_fm=self.g_fm,
+                b_de=self.b_de, interpret=interp)
+            auds.append(a)
+            specs.append(sp.reshape(K))
+            sts.append(st2)
+        audio = jnp.stack(auds)                        # [S, n_out*K1, K2]
+        spec_p = jnp.stack(specs) * (1.0 / n_out)      # position order
+        spec = (spec_p[:, jnp.asarray(self.chan_pos)]
+                if self.with_spectrum else jnp.zeros((S, 1), jnp.float32))
+        return (pfb_st, jnp.stack(sts)), (audio, spec)

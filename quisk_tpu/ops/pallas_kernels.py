@@ -784,3 +784,192 @@ def pfb_poly_critical(gr: jnp.ndarray, gi: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 << 20),
     )(gr, gi, gr, gi, jnp.asarray(hrev, jnp.float32))
     return vr, vi
+
+
+# =====================================================================
+# PFB cross-branch IDFT stage-2 + demod, fused (r5)
+# =====================================================================
+# Why: the r5 time-major XLA pipeline (PFBRxPipeline) measured WITHIN
+# NOISE of the r4 corner-turn path (53.7 vs 54.2 ms/block same-window
+# A/B) — XLA materializes every dot product's output, so the IDFT's
+# Karatsuba intermediates (t1/t2/t3 + re/im planes, ~4 GB of HBM round
+# trips at [16384, 4096]) dominate regardless of how the demod reads
+# are arranged.  This kernel runs twiddle -> commutator sign -> stage-2
+# matmul -> rotation (folded into the constants) -> per-mode demod
+# (branchless masks) -> one-pole IIRs (triangular-matmul chunks, carries
+# riding VMEM scratch across the SEQUENTIAL grid) -> audio select ->
+# per-channel power accumulation entirely in VMEM: HBM traffic is one
+# read of the stage-1 planes + one write of the audio.
+#
+# Layout: the stage-2 contraction runs with n2 on the LANES.  K = K1*K2
+# with K2 = 128 exactly (one lane register), so every HBM buffer is a
+# clean [rows, 128] array and no lane-changing reshapes are needed
+# (Mosaic cannot re-lane).  Stage-1 (XLA) emits B[t, c1, n2]; the kernel
+# dot is [TT*K1, 128] x [128, 128].  Output channel at flat position
+# p = c1*K2 + c2 is IFFT bin c = c1 + K1*c2 — a fixed digit-reversal
+# permutation; all per-channel constants (mode masks, rotation) are
+# permuted host-side and consumers unpermute with `chan_perm`.
+# Parity: the reference demodulates each bank inline after its filter
+# without materializing intermediates (quisk.c:2517-2652).
+
+_ATAN_COEF = (0.9999999981420096, -0.33333292795894176, 0.19998532554425255,
+              -0.142648921778703, 0.10958362661538337, -0.08427631092531766,
+              0.0584578444957222, -0.031750552322638056,
+              0.011257636005632484, -0.001877562048467843)
+
+
+def _atan2_poly(y, x):
+    """Branchless f32 atan2 from Mosaic-supported ops (no atan2
+    primitive in Pallas TPU lowering — probed 2026-08-20).  atan(a) on
+    [0, 1] as an odd degree-19 polynomial (Chebyshev LS fit in s = a^2,
+    max error 9.2e-8 rad < f32 ulp at pi), then octant corrections by
+    selects.  atan2(0, 0) returns 0 like np."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    mx = jnp.maximum(ax, ay)
+    mn = jnp.minimum(ax, ay)
+    a = mn / jnp.maximum(mx, 1e-37)
+    s = a * a
+    acc = jnp.full_like(s, np.float32(_ATAN_COEF[-1]))
+    for c in _ATAN_COEF[-2::-1]:
+        acc = acc * s + np.float32(c)
+    r = acc * a
+    r = jnp.where(ay > ax, np.float32(np.pi / 2) - r, r)
+    r = jnp.where(x < 0.0, np.float32(np.pi) - r, r)
+    return jnp.where(y < 0.0, -r, r)
+
+
+def _pfb_demod_kernel(bb_ref, st_ref, twr_ref, twi_ref,
+                      w2r_ref, w2i_ref, w2s_ref, am_ref, fm_ref,
+                      tdc_ref, tde_ref, dec_ref,
+                      audio_ref, spec_ref, stout_ref, *,
+                      TT, K1, K2, g_ssb, g_am, g_fm, b_de):
+    i = pl.program_id(0)
+    HI = jax.lax.Precision.HIGHEST
+
+    # input rows are (t, re|im, c1): the XLA stage-1 dot emits (br | bi)
+    # stacked along its output-column dim (sublane splits are lane-free)
+    b4 = bb_ref[:].reshape(TT, 2, K1, K2)
+    b3r = b4[:, 0]
+    b3i = b4[:, 1]
+    twr = twr_ref[:][None]                    # [1, K1, K2]
+    twi = twi_ref[:][None]
+    cr = b3r * twr - b3i * twi
+    ci = b3r * twi + b3i * twr
+    # (-1)^(m*c) half-frame hop parity: parity(c) == parity(c1) (K1 even)
+    t_glob = i * TT + jax.lax.broadcasted_iota(jnp.int32, (TT, K1, 1), 0)
+    c1_idx = jax.lax.broadcasted_iota(jnp.int32, (TT, K1, 1), 1)
+    sgn = jnp.where((t_glob % 2) * (c1_idx % 2) == 1, -1.0, 1.0)
+    cr = cr * sgn
+    ci = ci * sgn
+    A = cr.reshape(TT * K1, K2)
+    B = ci.reshape(TT * K1, K2)
+    t1 = jnp.dot(A, w2r_ref[:], precision=HI,
+                 preferred_element_type=jnp.float32)
+    t2 = jnp.dot(B, w2i_ref[:], precision=HI,
+                 preferred_element_type=jnp.float32)
+    t3 = jnp.dot(A + B, w2s_ref[:], precision=HI,
+                 preferred_element_type=jnp.float32)
+    zr = (t1 - t2).reshape(TT, K1, K2)        # rows (t, c1), lanes c2
+    zi = (t3 - t1 - t2).reshape(TT, K1, K2)
+
+    @pl.when(i == 0)
+    def _():
+        spec_ref[:] = jnp.zeros_like(spec_ref)
+        stout_ref[:] = st_ref[:]
+
+    spec_ref[:] = spec_ref[:] + jnp.sum(zr * zr + zi * zi, axis=0)
+    st = stout_ref[:].reshape(5, K1, K2)      # carries entering this tile
+
+    # SSB/CW: audio = g * Re
+    a_ssb = np.float32(g_ssb) * zr
+    # AM: envelope -> DC blocker y = (x - x[-1]) + a*y[-1]
+    env = jnp.sqrt(zr * zr + zi * zi)
+    env_m1 = jnp.concatenate([st[3][None], env[:-1]], axis=0)
+    d = env - env_m1
+    # FM: discriminator arg(z * conj(z[-1])) -> gain -> de-emphasis
+    zr_m1 = jnp.concatenate([st[0][None], zr[:-1]], axis=0)
+    zi_m1 = jnp.concatenate([st[1][None], zi[:-1]], axis=0)
+    dr = zr * zr_m1 + zi * zi_m1
+    di = zi * zr_m1 - zr * zi_m1
+    disc = jnp.where(dr * dr + di * di > 1e-24, _atan2_poly(di, dr), 0.0)
+    u = np.float32(b_de * g_fm) * disc
+    # one-pole recurrences as per-c1 triangular time matmuls (the grid is
+    # sequential, so the previous tile's last row IS this tile's carry)
+    tdc = tdc_ref[:]
+    tde = tde_ref[:]
+    dc_dec = dec_ref[:, 0:1]
+    de_dec = dec_ref[:, 1:2]
+    ydc_parts, yde_parts = [], []
+    for c1 in range(K1):
+        ydc = jnp.dot(tdc, d[:, c1, :], precision=HI,
+                      preferred_element_type=jnp.float32)
+        ydc_parts.append(ydc + dc_dec * st[4][c1][None])
+        yde = jnp.dot(tde, u[:, c1, :], precision=HI,
+                      preferred_element_type=jnp.float32)
+        yde_parts.append(yde + de_dec * st[2][c1][None])
+    y_dc = jnp.stack(ydc_parts, axis=1)       # [TT, K1, K2]
+    y_de = jnp.stack(yde_parts, axis=1)
+    a_am = np.float32(g_am) * y_dc
+    a_fm = y_de
+    # branchless per-channel family select (masks are data)
+    is_am = am_ref[:][None]
+    is_fm = fm_ref[:][None]
+    audio = a_ssb + is_am * (a_am - a_ssb) + is_fm * (a_fm - a_ssb)
+    audio_ref[:] = audio.reshape(TT * K1, K2)
+    # carries for the next tile / next block (explicit static slices:
+    # a [-1] value index lowers to dynamic_slice, which Mosaic lacks)
+    last = TT - 1
+    new_st = jnp.concatenate([zr[last], zi[last], y_de[last],
+                              env[last], y_dc[last]], axis=0)
+    stout_ref[:] = new_st
+
+
+@functools.partial(jax.jit, static_argnames=("TT", "K1", "K2", "g_ssb",
+                                             "g_am", "g_fm", "b_de",
+                                             "interpret"))
+def pfb_demod_call(bb, st, twr, twi, w2r, w2i, w2s, am, fm,
+                   tdc, tde, dec, *, TT, K1, K2, g_ssb, g_am, g_fm,
+                   b_de, interpret=False):
+    """bb [n_out*2*K1, K2] stacked (br | bi) stage-1 planes ->
+    (audio [n_out*K1, K2], spec [K1, K2] power SUM over time,
+    st' [5*K1, K2])."""
+    rows = bb.shape[0] // 2
+    n_out = rows // K1
+    grid = (n_out // TT,)
+    blk = TT * K1
+    cm = lambda i: (0, 0)
+    out = pl.pallas_call(
+        functools.partial(_pfb_demod_kernel, TT=TT, K1=K1, K2=K2,
+                          g_ssb=g_ssb, g_am=g_am, g_fm=g_fm, b_de=b_de),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((2 * blk, K2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),          # (br | bi)
+            pl.BlockSpec((5 * K1, K2), cm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K1, K2), cm, memory_space=pltpu.VMEM),   # twr
+            pl.BlockSpec((K1, K2), cm, memory_space=pltpu.VMEM),   # twi
+            pl.BlockSpec((K2, K2), cm, memory_space=pltpu.VMEM),   # w2r
+            pl.BlockSpec((K2, K2), cm, memory_space=pltpu.VMEM),   # w2i
+            pl.BlockSpec((K2, K2), cm, memory_space=pltpu.VMEM),   # w2s
+            pl.BlockSpec((K1, K2), cm, memory_space=pltpu.VMEM),   # am
+            pl.BlockSpec((K1, K2), cm, memory_space=pltpu.VMEM),   # fm
+            pl.BlockSpec((TT, TT), cm, memory_space=pltpu.VMEM),   # tdc
+            pl.BlockSpec((TT, TT), cm, memory_space=pltpu.VMEM),   # tde
+            pl.BlockSpec((TT, 128), cm, memory_space=pltpu.VMEM),  # dec
+        ],
+        out_specs=[
+            pl.BlockSpec((blk, K2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),          # audio
+            pl.BlockSpec((K1, K2), cm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((5 * K1, K2), cm, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, K2), jnp.float32),
+            jax.ShapeDtypeStruct((K1, K2), jnp.float32),
+            jax.ShapeDtypeStruct((5 * K1, K2), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
+    )(bb, st, twr, twi, w2r, w2i, w2s, am, fm, tdc, tde, dec)
+    return out

@@ -24,17 +24,35 @@ def make_mesh(n_devices: int | None = None, axis: str = "chan") -> Mesh:
     return Mesh(np.array(devs[:n]), (axis,))
 
 
+#: fields that hold SHARED transform/filter constants whose leading dim
+#: can collide with the channel count (found the hard way: CTRDFT's
+#: [K1, K1] stage matrix is [32, 32] — at C=32 the shape heuristic
+#: sharded a DFT basis and the featured chain failed under shard_map).
+#: Per-channel leaves (NCO words, [C, nfft] masks, demod state) never
+#: live under these names; STATE trees carry no constants, so the shape
+#: rule alone stays correct there.
+_SHARED_PARAM_FIELDS = frozenset({
+    "w1", "w2", "tw", "fr", "fi", "br", "bi", "M", "Mg", "U",
+    "h_poly", "window", "tdc", "tde", "dec", "kd", "taps",
+})
+
+
 def channel_pspecs(tree, channels: int, axis: str = "chan"):
     """PartitionSpecs matching `tree`: arrays whose leading dim == channels
-    get P(axis, None, ...); scalars and shared params get P() (replicated)."""
+    get P(axis, None, ...); scalars and shared params get P() (replicated).
+    Leaves under a known shared-constant field name are always replicated
+    (see _SHARED_PARAM_FIELDS)."""
 
-    def spec(leaf):
+    def spec(path, leaf):
+        if any(getattr(k, "name", None) in _SHARED_PARAM_FIELDS
+               for k in path):
+            return P()
         shape = getattr(leaf, "shape", ())
         if len(shape) >= 1 and shape[0] == channels:
             return P(axis, *([None] * (len(shape) - 1)))
         return P()
 
-    return jax.tree.map(spec, tree)
+    return jax.tree_util.tree_map_with_path(spec, tree)
 
 
 def shard_over_channels(tree, mesh: Mesh, channels: int, axis: str = "chan"):

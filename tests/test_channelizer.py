@@ -195,3 +195,39 @@ def test_pfb_rx_pipeline_mxu_dft_close():
     sb, (au_b, sp_b) = b(sb, jnp.asarray(x))
     assert np.allclose(np.asarray(au_a), np.asarray(au_b), atol=2e-3)
     assert np.allclose(np.asarray(sp_a), np.asarray(sp_b), rtol=1e-3)
+
+
+def test_pfb_pallas_demod_matches_xla_pipeline():
+    """The fused Pallas IDFT+demod kernel (interpret mode on CPU) ==
+    the XLA time-major pipeline: audio equal up to the documented
+    channel permutation, spectrum unpermuted, streaming state carried
+    across blocks and tile boundaries (TT=8 on n_out=32 exercises 4
+    tiles per block with IIR/FM carries riding the sequential grid)."""
+    from quisk_tpu.modes import Mode
+    from quisk_tpu.ops.channelizer import PFBRxPipeline
+
+    Kc, Bc = 256, 256 * 16
+    S, nblk = 2, 3
+    modes = [int(Mode.USB), int(Mode.LSB), int(Mode.AM), int(Mode.FM)]
+    mode_vec = [modes[(4 * i) // Kc] for i in range(Kc)]
+    ch_rate = 2.0 * FS / Kc
+    ref = PFBRxPipeline.create(Kc, Bc, mode_vec, channel_rate=ch_rate,
+                               mxu_dft=False)
+    pk = PFBRxPipeline.create(Kc, Bc, mode_vec, channel_rate=ch_rate,
+                              pallas_demod=True, TT=8)
+    perm = pk.chan_perm
+    assert np.array_equal(perm[pk.chan_pos], np.arange(Kc))
+
+    rng = np.random.default_rng(11)
+    st_r, st_p = ref.init_state(S), pk.init_state(S)
+    n_out = 2 * Bc // Kc
+    for blk in range(nblk):
+        x = (rng.standard_normal((S, Bc))
+             + 1j * rng.standard_normal((S, Bc))).astype(np.complex64)
+        st_r, (a_ref, sp_ref) = ref(st_r, jnp.asarray(x))
+        st_p, (a_pal, sp_pal) = pk(st_p, jnp.asarray(x))
+        a_pal = np.asarray(a_pal).reshape(S, n_out, Kc)[:, :, pk.chan_pos]
+        err = np.max(np.abs(a_pal - np.asarray(a_ref)))
+        assert err < 5e-3, (blk, err)
+        assert np.allclose(np.asarray(sp_pal), np.asarray(sp_ref),
+                           rtol=2e-3, atol=1e-5), blk
