@@ -34,6 +34,9 @@
 
 extern "C" {
 
+// 8160 pairs = 48,968-byte wideband datagrams (under the 64 KB limit)
+constexpr int64_t QT_WB_PAIRS = 8160;
+
 // ---------------------------------------------------------------- iq24
 // Convert n packed 24-bit little-endian signed I/Q pairs to float32.
 void qt_unpack_iq24(const uint8_t* in, int64_t n_pairs, float* out_i,
@@ -96,6 +99,39 @@ int64_t qt_hiqsdr_build(const float* in_i, const float* in_q, uint8_t seq,
   out[1] = status;
   qt_pack_iq24(in_i, in_q, 240, out + 2);
   return 2 + 240 * 6;
+}
+
+// -------------------------------------------------------------- wideband
+// Jumbo-frame single-stream transport for TPU-scale ingest (codec 2).
+// The radio protocols above are packet-rate-bound at ~1-1.4 KB/frame —
+// per-packet kernel cost caps the host path far below the >100x
+// real-time contract.  This framing carries 8160 iq24 pairs per
+// datagram (~48 KB: loopback MTU is 64 KB; on real fabrics it rides
+// 9k-MTU jumbo frames via kernel UDP fragmentation or GSO), making the
+// path byte-bound instead.  Layout:
+//   [0xEF 0xFD][seq:u32 BE][flags:u8][0]  +  n iq24 pairs.
+int64_t qt_wideband_parse(const uint8_t* pkt, int64_t len,
+                          uint32_t* seq_state, int64_t* seq_errors,
+                          float* out_i, float* out_q) {
+  if (len < 8 || pkt[0] != 0xEF || pkt[1] != 0xFD) return -1;
+  int64_t np = (len - 8) / 6;
+  if (np > QT_WB_PAIRS) return -1;
+  uint32_t seq = ((uint32_t)pkt[2] << 24) | ((uint32_t)pkt[3] << 16) |
+                 ((uint32_t)pkt[4] << 8) | (uint32_t)pkt[5];
+  if (seq != *seq_state) ++*seq_errors;
+  *seq_state = seq + 1;
+  qt_unpack_iq24(pkt + 8, np, out_i, out_q);
+  return np;
+}
+
+int64_t qt_wideband_build(const float* in_i, const float* in_q,
+                          int64_t n_pairs, uint32_t seq, uint8_t* out) {
+  out[0] = 0xEF; out[1] = 0xFD;
+  out[2] = (uint8_t)(seq >> 24); out[3] = (uint8_t)(seq >> 16);
+  out[4] = (uint8_t)(seq >> 8);  out[5] = (uint8_t)seq;
+  out[6] = 0; out[7] = 0;
+  qt_pack_iq24(in_i, in_q, n_pairs, out + 8);
+  return 8 + n_pairs * 6;
 }
 
 // ---------------------------------------------------------------- metis
@@ -263,6 +299,7 @@ struct QtPump {
   std::atomic<int64_t> packets{0}, bad{0}, samples{0}, seq_errors{0};
   uint8_t hiq_seq = 0;
   uint32_t metis_seq = 0;
+  uint32_t wb_seq = 0;
   uint8_t ctl[10] = {0};
   uint8_t status = 0;
   // Hermes radio->PC status plane (quisk.c:3641-3718): C1..C4 for rows
@@ -333,20 +370,26 @@ int32_t qt_pump_port(void* h) {
 }
 
 static void qt_pump_loop(QtPump* p) {
-  constexpr int BATCH = 64;
-  constexpr int MTU = 2048;
+  const int BATCH = p->codec == 2 ? 16 : 64;
+  const int MTU = p->codec == 2 ? 49152 + 64 : 2048;
   std::vector<uint8_t> bufs((size_t)BATCH * MTU);
-  mmsghdr msgs[BATCH];
-  iovec iov[BATCH];
+  mmsghdr msgs[64];
+  iovec iov[64];
   for (int k = 0; k < BATCH; ++k) {
     iov[k].iov_base = bufs.data() + (size_t)k * MTU;
-    iov[k].iov_len = MTU;
+    iov[k].iov_len = (size_t)MTU;
     memset(&msgs[k], 0, sizeof msgs[k]);
     msgs[k].msg_hdr.msg_iov = &iov[k];
     msgs[k].msg_hdr.msg_iovlen = 1;
   }
   constexpr int MAXNS = 256;
   std::vector<float> iqbuf((size_t)p->n_rx * 2 * MAXNS);
+  std::vector<float> wbi, wbq, wbin;
+  if (p->codec == 2) {
+    wbi.resize(QT_WB_PAIRS);
+    wbq.resize(QT_WB_PAIRS);
+    wbin.resize(2 * QT_WB_PAIRS);
+  }
   int16_t micbuf[MAXNS];
   float micf[MAXNS];
   float outi[256], outq[256], inter[512];
@@ -362,7 +405,19 @@ static void qt_pump_loop(QtPump* p) {
         const uint8_t* pkt = bufs.data() + (size_t)m * MTU;
         int64_t len = msgs[m].msg_len;
         int64_t se = 0;
-        if (p->codec == 0) {
+        if (p->codec == 2) {
+          int64_t ns = qt_wideband_parse(pkt, len, &p->wb_seq, &se,
+                                         wbi.data(), wbq.data());
+          if (ns < 0) { ++p->bad; continue; }
+          for (int64_t k = 0; k < ns; ++k) {
+            wbin[2 * k] = wbi[k];
+            wbin[2 * k + 1] = wbq[k];
+          }
+          qt_ring_push(p->rings[0], wbin.data(), 2 * ns);
+          p->seq_errors += se;
+          ++p->packets;
+          p->samples += ns;
+        } else if (p->codec == 0) {
           uint8_t st = 0;
           int64_t ns = qt_hiqsdr_parse(pkt, len, &p->hiq_seq, &se, outi,
                                        outq, &st);
@@ -509,10 +564,17 @@ int64_t qt_blast(const char* host, int32_t port, int32_t codec, int32_t n_rx,
     close(fd);
     return -1;
   }
-  int len = codec == 0 ? 2 + 240 * 6 : 1032;
-  uint8_t base[2048];
-  memset(base, 0, sizeof base);
-  if (codec == 0) {
+  int len = codec == 0 ? 2 + 240 * 6 : (codec == 2 ? 8 + 6 * (int)QT_WB_PAIRS : 1032);
+  std::vector<uint8_t> basev((size_t)(len > 2048 ? len : 2048), 0);
+  uint8_t* base = basev.data();
+  if (codec == 2) {
+    std::vector<float> ri(QT_WB_PAIRS), rq(QT_WB_PAIRS);
+    for (int64_t k = 0; k < QT_WB_PAIRS; ++k) {
+      ri[k] = (float)(k & 1023) / 2048.0f;
+      rq[k] = -ri[k];
+    }
+    qt_wideband_build(ri.data(), rq.data(), QT_WB_PAIRS, 0, base);
+  } else if (codec == 0) {
     float ri[240], rq[240];
     for (int k = 0; k < 240; ++k) {
       ri[k] = (float)k / 512.0f;
@@ -531,13 +593,14 @@ int64_t qt_blast(const char* host, int32_t port, int32_t codec, int32_t n_rx,
         for (int r = 0; r < n_rx; ++r) s[r * 6 + 2] = (uint8_t)g;  // I ramp
     }
   }
-  constexpr int BATCH = 64;
-  std::vector<uint8_t> bufs((size_t)BATCH * 2048);
-  mmsghdr msgs[BATCH];
-  iovec iov[BATCH];
+  const int BATCH = codec == 2 ? 16 : 64;
+  const size_t stride = (size_t)(len > 2048 ? len : 2048);
+  std::vector<uint8_t> bufs((size_t)BATCH * stride);
+  mmsghdr msgs[64];
+  iovec iov[64];
   for (int k = 0; k < BATCH; ++k) {
-    memcpy(bufs.data() + (size_t)k * 2048, base, len);
-    iov[k].iov_base = bufs.data() + (size_t)k * 2048;
+    memcpy(bufs.data() + (size_t)k * stride, base, len);
+    iov[k].iov_base = bufs.data() + (size_t)k * stride;
     iov[k].iov_len = (size_t)len;
     memset(&msgs[k], 0, sizeof msgs[k]);
     msgs[k].msg_hdr.msg_iov = &iov[k];
@@ -550,9 +613,12 @@ int64_t qt_blast(const char* host, int32_t port, int32_t codec, int32_t n_rx,
   while (sent < n_packets) {
     int want = (int)(n_packets - sent < BATCH ? n_packets - sent : BATCH);
     for (int k = 0; k < want; ++k, ++seq) {
-      uint8_t* pkt = bufs.data() + (size_t)k * 2048;
+      uint8_t* pkt = bufs.data() + (size_t)k * stride;
       if (codec == 0) {
         pkt[0] = (uint8_t)seq;
+      } else if (codec == 2) {
+        pkt[2] = (uint8_t)(seq >> 24); pkt[3] = (uint8_t)(seq >> 16);
+        pkt[4] = (uint8_t)(seq >> 8);  pkt[5] = (uint8_t)seq;
       } else {
         pkt[4] = (uint8_t)(seq >> 24); pkt[5] = (uint8_t)(seq >> 16);
         pkt[6] = (uint8_t)(seq >> 8);  pkt[7] = (uint8_t)seq;

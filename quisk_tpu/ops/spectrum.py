@@ -19,6 +19,7 @@ array and any consumer reads the running average — no fft_error overruns
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -69,18 +70,33 @@ class SpectrumAnalyzer:
     enbw_bins: jnp.ndarray                  # scalar: window ENBW in bins
     fft_size: int = struct.field(pytree_node=False)
     block: int = struct.field(pytree_node=False)
+    #: analysis hop in samples; hop == fft_size is the disjoint-frame
+    #: mode (r4 default).  hop < fft_size enables OVERLAPPED capture
+    #: (wdsp/analyzer.c parity: the reference analyzer's overlap >= 0
+    #: frame scheduling, analyzer.c SetAnalyzer/overlap) — with a Hann
+    #: window at 50% overlap every sample gets full weight somewhere, so
+    #: short transients can't hide in a window null at a frame edge.
+    hop: int = struct.field(pytree_node=False, default=0)
 
     @classmethod
-    def create(cls, fft_size: int, block: int, window: str = "hann"):
+    def create(cls, fft_size: int, block: int, window: str = "hann",
+               overlap: float = 0.0):
+        """``overlap`` is the frame-overlap fraction (0, 0.5, 0.75, ...):
+        hop = fft_size*(1-overlap) must divide both fft_size and block."""
         if block % fft_size:
             raise ValueError(f"block {block} not a multiple of fft {fft_size}")
+        hop = int(round(fft_size * (1.0 - overlap)))
+        if not 0 < hop <= fft_size or fft_size % hop or block % hop:
+            raise ValueError(
+                f"overlap {overlap} needs hop = fft*(1-overlap) to divide "
+                f"fft_size {fft_size} and block {block} (got hop {hop})")
         w = make_window(window, fft_size)
         enbw = _enbw_bins(w)
         # normalise so a full-scale complex tone reads 0 dBFS
         w = w / w.sum()
         return cls(window=jnp.asarray(w, jnp.float32),
                    enbw_bins=jnp.float32(enbw),
-                   fft_size=fft_size, block=block)
+                   fft_size=fft_size, block=block, hop=hop)
 
     def with_window(self, window: str) -> "SpectrumAnalyzer":
         """Same analyzer, different window — data only, no recompile."""
@@ -91,21 +107,50 @@ class SpectrumAnalyzer:
                             enbw_bins=jnp.float32(enbw))
 
     def init_state(self, channels: int):
-        return (jnp.zeros((channels, self.fft_size), jnp.float32),
+        base = (jnp.zeros((channels, self.fft_size), jnp.float32),
                 jnp.zeros((), jnp.float32))
+        if self.hop == self.fft_size:
+            return base
+        # overlapped mode carries the trailing fft-hop input samples as
+        # (re, im) f32 planes (complex64 must not cross the boundary)
+        h = self.fft_size - self.hop
+        return base + (jnp.zeros((channels, h), jnp.float32),
+                       jnp.zeros((channels, h), jnp.float32))
 
     def accumulate(self, state, x: jnp.ndarray):
-        psum, count = state
+        L = self.fft_size
         C = x.shape[0]
-        nseg = self.block // self.fft_size
-        segs = x.reshape(C, nseg, self.fft_size) * self.window
-        X = jnp.fft.fft(segs, axis=-1)
-        p = jnp.mean(jnp.abs(X) ** 2, axis=1)
-        return (psum + p, count + 1.0), None
+        if self.hop == L:                         # disjoint frames
+            psum, count = state
+            segs = x.reshape(C, -1, L) * self.window
+            X = jnp.fft.fft(segs, axis=-1)
+            p = jnp.mean(jnp.abs(X) ** 2, axis=1)
+            return (psum + p, count + 1.0), None
+        # overlapped frames: q = L/hop strided reshape VIEWS of the
+        # history-extended block (no gather, no materialized frame stack
+        # beyond the windowed segments the FFT needs anyway); frame i*hop
+        # lives in view group i = (i mod q)
+        psum, count, hr, hi = state
+        hop = self.hop
+        q = L // hop
+        xr = jnp.concatenate([hr, jnp.real(x)], axis=-1)
+        xi = jnp.concatenate([hi, jnp.imag(x)], axis=-1)
+        n = xr.shape[-1]                          # block + L - hop
+        total = x.shape[-1] // hop                # frames this block
+        p = jnp.zeros((C, L), jnp.float32)
+        for i in range(q):
+            nj = (n - i * hop - L) // L + 1
+            sr = xr[:, i * hop: i * hop + nj * L].reshape(C, nj, L)
+            si = xi[:, i * hop: i * hop + nj * L].reshape(C, nj, L)
+            seg = jnp.fft.fft(jax.lax.complex(sr, si) * self.window,
+                              axis=-1)
+            p = p + jnp.sum(jnp.abs(seg) ** 2, axis=1)
+        new_h = (xr[:, n - (L - hop):], xi[:, n - (L - hop):])
+        return (psum + p / total, count + 1.0) + new_h, None
 
     def power(self, state) -> jnp.ndarray:
         """Averaged linear power, fftshifted so index 0 = -fs/2. [C, F]."""
-        psum, count = state
+        psum, count = state[0], state[1]
         return jnp.fft.fftshift(psum / jnp.maximum(count, 1.0), axes=-1)
 
     def graph_db(self, state, floor_db: float = -180.0) -> jnp.ndarray:
@@ -132,8 +177,11 @@ class SpectrumAnalyzer:
         return jnp.sum(jnp.where(mask, p, 0.0), axis=-1) / self.enbw_bins
 
     def reset(self, state):
-        psum, count = state
-        return (jnp.zeros_like(psum), jnp.zeros_like(count))
+        """Zero the running average; overlapped mode keeps its sample
+        history (only one frame of transient either way)."""
+        psum, count = state[0], state[1]
+        return (jnp.zeros_like(psum), jnp.zeros_like(count)) + tuple(
+            state[2:])
 
 
 def _enbw_bins(w: np.ndarray) -> float:
@@ -191,3 +239,75 @@ def rebin_freqs(freqs: np.ndarray, pixels: int, zoom: float = 1.0,
     start, per = _rebin_geometry(F, pixels, zoom, center_frac)
     idx = start + np.arange(pixels) * per + per // 2
     return np.asarray(freqs)[np.minimum(idx, F - 1)]
+
+
+@struct.dataclass
+class ZoomSpectrum:
+    """Zoom-FFT: re-capture a narrow passband at ``decim``-times finer
+    frequency resolution than the base analyzer.
+
+    ``rebin_pixels`` zoom is pixel re-binning of ONE base-resolution
+    capture — past zoom ~ fft_size/pixels the display gains no new
+    information.  WDSP's analyzer instead re-captures at the span it is
+    asked to show (multi-resolution capture: wdsp/analyzer.c:1-120
+    SetAnalyzer span/overlap management).  The TPU-native equivalent:
+    mix the view center to baseband (NCO), lowpass + decimate by D on
+    the MXU (MatmulFIR), and run a :class:`SpectrumAnalyzer` (overlap
+    supported) at rate fs/D — same fft_size, span fs/D, resolution D x
+    finer.  Streaming: NCO phase, FIR history and the analyzer average
+    are all carried state, so the zoomed view converges while the radio
+    keeps running, and ``retuned`` moves the view center without
+    recompiling (the NCO word is data).
+    """
+
+    nco: "object"                  # NCO at the view center
+    fir: "object"                  # MatmulFIR lowpass decimator
+    an: SpectrumAnalyzer
+    decim: int = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, fft_size: int, block: int, center_hz: float,
+               sample_rate: float, decim: int, window: str = "hann",
+               overlap: float = 0.5, atten_db: float = 80.0):
+        from quisk_tpu.ops.design import kaiser_lowpass
+        from quisk_tpu.ops.fir import MatmulFIR
+        from quisk_tpu.ops.nco import NCO
+        if block % decim or (block // decim) % fft_size:
+            raise ValueError("need decim | block and fft_size | block/decim")
+        # anti-alias lowpass at 90% of the zoomed Nyquist
+        taps = kaiser_lowpass(0.45 * sample_rate / decim, sample_rate,
+                              atten_db=atten_db)
+        return cls(nco=NCO.create(center_hz, sample_rate, block, 1),
+                   fir=MatmulFIR.create(taps, block, decim=decim),
+                   an=SpectrumAnalyzer.create(fft_size, block // decim,
+                                              window=window,
+                                              overlap=overlap),
+                   decim=decim)
+
+    def retuned(self, center_hz: float, sample_rate: float) -> "ZoomSpectrum":
+        """Move the view center — NCO word is data, no recompile."""
+        from quisk_tpu.ops.nco import NCO
+        return self.replace(nco=NCO.create(center_hz, sample_rate,
+                                           self.nco.block, 1))
+
+    def init_state(self, channels: int):
+        return (self.nco.init_state(channels),
+                self.fir.init_state(channels),
+                self.an.init_state(channels))
+
+    def accumulate(self, state, x: jnp.ndarray):
+        ph, fh, an_st = state
+        ph, bb = self.nco(ph, x)
+        fh, y = self.fir(fh, bb)
+        an_st, _ = self.an.accumulate(an_st, y)
+        return (ph, fh, an_st), None
+
+    def graph_db(self, state, floor_db: float = -180.0) -> jnp.ndarray:
+        return self.an.graph_db(state[2], floor_db)
+
+    def power(self, state) -> jnp.ndarray:
+        return self.an.power(state[2])
+
+    def freqs(self, sample_rate: float, center_hz: float = 0.0) -> np.ndarray:
+        """Absolute pixel frequencies of the zoomed view."""
+        return center_hz + self.an.freqs(sample_rate / self.decim)

@@ -118,3 +118,64 @@ def test_halfband_polyphase_matches_matmul(rng):
     xr = rng.standard_normal((C, 4 * B)).astype(np.float32)
     assert np.max(np.abs(_run_blocks(opr, xr, 4)
                          - _run_blocks(refr, xr, 4))) < 1e-5
+
+
+# ------------------------------------------------- r5: partitioned OLS
+def test_partitioned_ols_matches_single_partition():
+    """PartitionedOLS == OverlapSaveFIR streaming for a 10001-tap filter
+    at a 512-sample block (FIRCORE low-latency case: 20 partitions,
+    1024-pt FFT/block vs the single-partition 16384-pt)."""
+    import jax.numpy as jnp
+    from quisk_tpu.ops.design import bandpass_analytic
+    from quisk_tpu.ops.fir import OverlapSaveFIR, PartitionedOLS
+
+    B, T, C = 512, 10001, 2
+    taps = bandpass_analytic(T, 300.0, 2800.0, 48000.0)
+    a = OverlapSaveFIR.create(taps, B)
+    b = PartitionedOLS.create(taps, B)
+    assert b.P == 20 and b.nfft == 1024 and a.nfft >= B + T - 1
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal((C, 24 * B))
+         + 1j * rng.standard_normal((C, 24 * B))).astype(np.complex64)
+    sa, sb = a.init_state(C), b.init_state(C)
+    for k in range(24):
+        xb = jnp.asarray(x[:, k * B:(k + 1) * B])
+        sa, ya = a(sa, xb)
+        sb, yb = b(sb, xb)
+        err = float(jnp.max(jnp.abs(ya - yb)))
+        assert err < 1e-4, (k, err)
+
+
+def test_partitioned_ols_decim_and_retune():
+    """Decimating variant matches, and retuned() swaps the response
+    (shape-stable masks, no recompile) with one-block latency."""
+    import jax.numpy as jnp
+    from quisk_tpu.ops.design import kaiser_lowpass
+    from quisk_tpu.ops.fir import OverlapSaveFIR, PartitionedOLS
+
+    B, C = 256, 1
+    t1 = kaiser_lowpass(3000.0, 48000.0, atten_db=60.0)
+    t1 = np.pad(t1, (0, (-len(t1)) % 1 or 0))
+    a = OverlapSaveFIR.create(t1, B, decim=4)
+    b = PartitionedOLS.create(t1, B, decim=4)
+    rng = np.random.default_rng(1)
+    x = (rng.standard_normal((C, 8 * B))
+         + 1j * rng.standard_normal((C, 8 * B))).astype(np.complex64)
+    sa, sb = a.init_state(C), b.init_state(C)
+    for k in range(8):
+        xb = jnp.asarray(x[:, k * B:(k + 1) * B])
+        sa, ya = a(sa, xb)
+        sb, yb = b(sb, xb)
+        assert float(jnp.max(jnp.abs(ya - yb))) < 1e-4
+    # retune to a wider filter: next block's output tracks the new taps
+    t2 = kaiser_lowpass(6000.0, 48000.0, atten_db=60.0)
+    t2 = np.resize(t2, len(t1))
+    b2 = b.retuned(t2)
+    a2 = a.retuned(t2)
+    assert b2.H.shape == b.H.shape
+    sb2, sa2 = sb, sa
+    for k in range(3):   # flush P partitions' mixed history
+        xb = jnp.asarray(x[:, k * B:(k + 1) * B])
+        sa2, ya = a2(sa2, xb)
+        sb2, yb = b2(sb2, xb)
+    assert float(jnp.max(jnp.abs(ya - yb))) < 1e-4

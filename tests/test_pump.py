@@ -225,3 +225,73 @@ def test_radio_receives_from_live_socket():
     # demodulated audio actually carries the voice band
     a = audio[0][2 * 2048:]
     assert np.sqrt(np.mean(a ** 2)) > 0.01
+
+
+# ------------------------------------------------- r5: wideband + multi
+def test_wideband_pump_end_to_end():
+    """Jumbo-frame wideband codec (native codec 2): blast -> pump ->
+    blocks with exact payload and zero loss at a paced rate."""
+    import threading
+    import time
+
+    import pytest
+
+    from quisk_tpu.io import native
+    from quisk_tpu.io.pump import NativePump, blast
+
+    if not native.have_native_pump():
+        pytest.skip("native ingest library not built")
+    pump = NativePump("wideband", n_rx=1, ring_samples=1 << 21)
+    pump.start()
+    t = threading.Thread(target=blast, args=(pump.local_addr,),
+                         kwargs=dict(codec="wideband", n_rx=1,
+                                     n_packets=50, pace_pps=2000.0))
+    t.start()
+    t.join()
+    deadline = time.time() + 2.0
+    while pump.available() < 50 * 8160 and time.time() < deadline:
+        time.sleep(0.02)
+    blk = pump.read_samples(50 * 8160)
+    st = pump.stats()
+    pump.close()
+    assert blk is not None
+    assert st["seq_errors"] == 0 and st["ring_overruns"] == 0, st
+    want = (((np.arange(50 * 8160) % 8160) % 1024) / 2048.0)
+    assert np.max(np.abs(blk[0].real - want)) < 1e-5
+    assert np.max(np.abs(blk[0].imag + want)) < 1e-5
+
+
+def test_multipump_merges_aligned_blocks():
+    """MultiPump: N sockets/reader threads merge into [N*n_rx, n] blocks
+    only when every member can supply one."""
+    import threading
+    import time
+
+    import pytest
+
+    from quisk_tpu.io import native
+    from quisk_tpu.io.pump import MultiPump, blast
+
+    if not native.have_native_pump():
+        pytest.skip("native ingest library not built")
+    mp = MultiPump("hiqsdr", n_pumps=2, n_rx=1, ring_samples=1 << 20)
+    mp.start()
+    assert mp.read_samples(240) is None          # nothing yet: starved
+    ths = [threading.Thread(target=blast, args=(a,),
+                            kwargs=dict(codec="hiqsdr", n_rx=1,
+                                        n_packets=100, pace_pps=5000.0))
+           for a in mp.local_addrs]
+    for t in ths:
+        t.start()
+    for t in ths:
+        t.join()
+    deadline = time.time() + 2.0
+    while mp.available() < 100 * 240 and time.time() < deadline:
+        time.sleep(0.02)
+    blk = mp.read_samples(100 * 240)
+    st = mp.stats()
+    mp.stop()
+    mp.close()
+    assert blk is not None and blk.shape == (2, 24000)
+    assert st["seq_errors"] == 0
+    assert np.allclose(blk[0], blk[1])           # identical blasts

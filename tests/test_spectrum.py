@@ -124,3 +124,104 @@ def test_graph_service_and_radio_window_switch(tmp_path):
         assert abs(s2) < 0.5, s2              # correction follows window
     finally:
         r.close()
+
+
+# ---------------------------------------------------------- r5: overlap
+def test_overlap_matches_numpy_stft_and_streams():
+    """50%-overlap capture == a numpy hop-L/2 STFT power average, and
+    streaming over 2 blocks == one big block (history carry exact)."""
+    import jax.numpy as jnp
+    from quisk_tpu.ops.spectrum import SpectrumAnalyzer, make_window
+
+    L, B, C = 256, 1024, 2
+    an = SpectrumAnalyzer.create(L, B, window="hann", overlap=0.5)
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal((C, 2 * B))
+         + 1j * rng.standard_normal((C, 2 * B))).astype(np.complex64)
+
+    st = an.init_state(C)
+    for b in range(2):
+        st, _ = an.accumulate(st, jnp.asarray(x[:, b * B:(b + 1) * B]))
+    got = np.asarray(an.power(st))
+
+    # numpy oracle: frames at hop L/2 over [hist | x] with zero history
+    w = make_window("hann", L)
+    w = w / w.sum()
+    ext = np.concatenate([np.zeros((C, L // 2)), x], axis=-1)
+    hop = L // 2
+    nfr = (ext.shape[-1] - L) // hop + 1
+    acc = np.zeros((C, L))
+    for f in range(nfr):
+        X = np.fft.fft(ext[:, f * hop:f * hop + L] * w, axis=-1)
+        acc += np.abs(X) ** 2
+    # analyzer averages per-frame within each block then over blocks
+    ref = np.fft.fftshift(acc / nfr, axes=-1)
+    assert np.allclose(got, ref, rtol=1e-4, atol=1e-8)
+
+    # streaming == one shot (same total frames, same average)
+    an1 = SpectrumAnalyzer.create(L, 2 * B, window="hann", overlap=0.5)
+    st1 = an1.init_state(C)
+    st1, _ = an1.accumulate(st1, jnp.asarray(x))
+    assert np.allclose(got, np.asarray(an1.power(st1)), rtol=1e-4)
+
+
+def test_overlap_tone_reads_0dbfs_and_smeter_exact():
+    """Window normalization and the ENBW S-meter correction survive the
+    overlapped path: a full-scale tone reads ~0 dBFS and its bin-summed
+    power ~1.0 for 0%, 50% and 75% overlap."""
+    import jax.numpy as jnp
+    from quisk_tpu.io import sources
+    from quisk_tpu.ops.spectrum import SpectrumAnalyzer
+
+    L, B = 512, 4096
+    FS = 48000.0
+    x = sources.tone(6000.0, FS, B).astype(np.complex64)[None]
+    for ov in (0.0, 0.5, 0.75):
+        an = SpectrumAnalyzer.create(L, B, window="hann", overlap=ov)
+        st = an.init_state(1)
+        st, _ = an.accumulate(st, jnp.asarray(x))
+        db = np.asarray(an.graph_db(st))[0]
+        assert abs(db.max() - 0.0) < 1.0, (ov, db.max())
+        pw = float(np.asarray(an.smeter_power(st, FS, 5000.0, 7000.0))[0])
+        assert abs(pw - 1.0) < 0.05, (ov, pw)
+
+
+def test_zoom_spectrum_resolves_sub_bin_tones():
+    """Two tones 3x closer than the base FFT's bin width: pixel zoom on
+    the base capture cannot separate them; ZoomSpectrum (decim=16
+    re-capture) shows two distinct peaks at the right frequencies."""
+    import jax.numpy as jnp
+    from quisk_tpu.io import sources
+    from quisk_tpu.ops.spectrum import SpectrumAnalyzer, ZoomSpectrum
+
+    FS = 256000.0
+    L, B = 256, 8192
+    base_bin = FS / L                       # 1000 Hz
+    f1, f2 = 20000.0, 20000.0 + base_bin / 3.0
+    n = 8 * B
+    x = (sources.tone(f1, FS, n) + sources.tone(f2, FS, n)
+         ).astype(np.complex64)[None]
+
+    base = SpectrumAnalyzer.create(L, B, window="hann")
+    zm = ZoomSpectrum.create(L, B, center_hz=20000.0, sample_rate=FS,
+                             decim=16, overlap=0.5)
+    st_b, st_z = base.init_state(1), zm.init_state(1)
+    for b in range(8):
+        xb = jnp.asarray(x[:, b * B:(b + 1) * B])
+        st_b, _ = base.accumulate(st_b, xb)
+        st_z, _ = zm.accumulate(st_z, xb)
+
+    def n_peaks(p):
+        p = p / p.max()
+        return int(np.sum((p[1:-1] > p[:-2]) & (p[1:-1] >= p[2:])
+                          & (p[1:-1] > 0.05)))
+
+    p_base = np.asarray(base.power(st_b))[0]
+    assert n_peaks(p_base) == 1            # merged in one base bin pair
+    p_zoom = np.asarray(zm.power(st_z))[0]
+    assert n_peaks(p_zoom) == 2, n_peaks(p_zoom)
+    # absolute frequency mapping: the two zoomed peaks sit at f1 and f2
+    fz = zm.freqs(FS, center_hz=20000.0)
+    zoom_bin = FS / 16 / L
+    top2 = sorted(fz[i] for i in np.argsort(p_zoom)[-2:])
+    assert abs(top2[0] - f1) < zoom_bin and abs(top2[1] - f2) < zoom_bin
