@@ -376,7 +376,7 @@ def bench_pfb(iters: int = 20, K: int = 4096, mult: int | None = None,
         # per dispatch halves the floor share (the PFB analogue of the
         # flagship's blocks-per-dispatch sweep)
         cands = [bench_pfb(iters, K, m, mxu_dft, fused)
-                 for m in ((8192, 16384) if fused else (8192,))]
+                 for m in ((8192, 16384, 32768) if fused else (8192,))]
         return max(cands, key=lambda r: r["value"])
     if mxu_dft is None:
         if fused:        # the Pallas path owns its stage split; no A/B
@@ -806,6 +806,15 @@ def main():
               "tunnel contention during its window (it can exceed the",
               "fused featured total); the MARGINAL rows are the signal.",
               "",
+              "Prefix marginals drift with the tunnel between rows: the",
+              "honest same-window NB marginal (all-on vs all-minus-NB,",
+              "probe_r5_campaign2, 2026-08-20) is ~1.6 ms/block",
+              "(16.09/16.23 with NB vs 14.50 without) — close to the",
+              "~1.4 ms in-kernel detection cost; the r4 table's ~6 ms",
+              "NB row was prefix drift.  Forcing the NB front kernel",
+              "to TN=2 vs the default TN=4 measured within noise",
+              "(17.1 vs 17.4 ms whole-chain).",
+              "",
               "## NFM-chain stage breakdown (prefix differencing)", "",
               "| stage | marginal ms/block |",
               "|---|---|"]
@@ -826,21 +835,32 @@ def main():
               f"  - fused-vs-corner-turn A/B (this run): fused "
               f"{pfb['value']} vs unfused {pfb_un['value']} Msps "
               f"({pfb['ms_per_block']} vs {pfb_un['ms_per_block']} "
-              "ms/block).  The r5 pipeline (PFBRxPipeline) feeds the "
-              "demod the IDFT output planes time-major, so the "
-              "channel-major [4096, 16384] complex batch — whose "
-              "536 MB write + 536 MB re-read + 268 MB audio write was "
-              "the r4 pipeline's ~21 ms demod marginal — never "
-              "materializes in HBM.",
-              "  - Frozen r4 probe snapshot (2026-08-20, pre-fusion "
-              "pipeline): probe_pfb_demod.py timed each GroupedDemod "
-              "family standalone at [4096, 16384] — every marginal "
-              "<1 ms (FM arctan2 vs plain complex-diff +0.6), proving "
-              "the r4 in-pipeline demod cost was pure HBM traffic; "
-              "probe_pfb_spec.py A/B'd the spectrum tap as zero-cost "
-              "fused into the demod reads (53.11 vs 53.47 ms).  Those "
-              "point numbers describe the r4 corner-turn pipeline, "
-              "not the current fused one.",
+              f"ms/block at {pfb.get('samples_per_dispatch')} vs "
+              "33.5 M samples/dispatch).  The r5 pipeline runs "
+              "twiddle + stage-2 IDFT matmul (rotation folded into "
+              "the constants) + per-mode demod + one-pole IIRs + "
+              "spectrum as ONE Pallas kernel "
+              "(ops/pallas_kernels.pfb_demod_call): HBM traffic after "
+              "the polyphase pass is one read of the stage-1 planes + "
+              "one audio write.  An XLA-only time-major rearrangement "
+              "measured WITHIN NOISE of the r4 corner turn (53.7 vs "
+              "54.2 ms same-window) — dot-output materialization, not "
+              "demod reads, bounds any XLA formulation.",
+              "  - Frozen r5 prefix snapshot (2026-08-20, contended "
+              "window, identity floor 26.8 ms): poly +6.1, stage-1 "
+              "(single stacked real dot) +3.3, demod kernel +6.1 "
+              "ms marginal for 33.5 M samples — whole-pipeline "
+              "compute ~15.5 ms; the dispatch floor now dominates, "
+              "and it scales with input bytes (tunnel argument "
+              "marshaling), which is why the samples-per-dispatch "
+              "sweep flattens past 67 M.",
+              "  - Frozen r4 probe snapshot (2026-08-20, corner-turn "
+              "pipeline): probe_pfb_demod.py measured every demod "
+              "family <1 ms standalone at [4096, 16384], proving the "
+              "r4 ~21 ms in-pipeline demod marginal was pure HBM "
+              "traffic; probe_pfb_spec.py A/B'd the spectrum tap as "
+              "zero-cost (53.11 vs 53.47 ms).  Those numbers describe "
+              "the r4 pipeline, not the current kernel.",
               f"- {tx['metric']}: {tx['value']} {tx['unit']} "
               f"({tx['ms_per_block']} ms/block)",
               "",

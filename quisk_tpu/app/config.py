@@ -58,6 +58,7 @@ class RadioConfig:
     fft_size: int = 2048
     graph_refresh_hz: float = 7.0     # quisk_conf_defaults.py:1794
     graph_window: str = "hann"        # spectrum window (wdsp/analyzer.c)
+    graph_overlap: float = 0.0        # frame overlap (wdsp analyzer)
 
     def modes(self) -> Mode:
         return Mode[self.mode]
@@ -106,6 +107,7 @@ class RadioConfig:
             cw_pitch=float(flags.cwTone),
             graph_refresh_hz=float(flags.graph_refresh),
             graph_window=str(flags.graph_window),
+            graph_overlap=float(flags.graph_overlap),
             dc_remove_bw=int(flags.dc_remove_bw),
             invert_spectrum=bool(flags.invertSpectrum),
         )

@@ -311,6 +311,9 @@ _f("graph_window", _TEXT, "hann", "spectrum analysis window",
             "flat-top"))
 _f("fft_size_multiplier", _INT, 0, "FFT size as a multiple of the data "
    "width; 0 = auto")
+_f("graph_overlap", _NUM, 0.0, "analysis-frame overlap fraction (0, 0.5,"
+   " 0.75) — wdsp analyzer overlapped capture",
+   choices=(0.0, 0.5, 0.75))
 _f("graph_peak_hold_1", _NUM, 0.25, "peak-hold decay for button 1")
 _f("graph_peak_hold_2", _NUM, 0.10, "peak-hold decay for button 2")
 _f("graph_width", _NUM, 0.8, "graph width as a fraction of the screen")

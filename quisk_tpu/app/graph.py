@@ -20,8 +20,10 @@ class GraphService:
 
     def __init__(self, fft_size: int, block: int, channels: int,
                  sample_rate: float, pixels: int = 1024,
-                 refresh_hz: float = 7.0, window: str = "hann"):
-        self.sa = SpectrumAnalyzer.create(fft_size, block, window=window)
+                 refresh_hz: float = 7.0, window: str = "hann",
+                 overlap: float = 0.0):
+        self.sa = SpectrumAnalyzer.create(fft_size, block, window=window,
+                                          overlap=overlap)
         self.state = self.sa.init_state(channels)
         self.sample_rate = sample_rate
         self.pixels = pixels

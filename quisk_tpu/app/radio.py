@@ -119,7 +119,8 @@ class Radio:
                                   block=self.chain.block_in,
                                   channels=C, sample_rate=cfg.sample_rate,
                                   refresh_hz=cfg.graph_refresh_hz,
-                                  window=cfg.graph_window)
+                                  window=cfg.graph_window,
+                                  overlap=cfg.graph_overlap)
         self.waterfall = WaterfallRenderer(pixels=1024)
         self._step = make_boundary_step(
             lambda ch, s, xx, kd: ch.step(s, xx, key_down=kd))

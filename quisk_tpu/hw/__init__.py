@@ -23,6 +23,7 @@ from quisk_tpu.hw.sdriq import SdriqHardware
 from quisk_tpu.hw.sdrmicron import MicronFramer, SdrMicronHardware
 from quisk_tpu.hw.soapy import SoapyHardware
 from quisk_tpu.hw.softrock import SoftrockHardware
+from quisk_tpu.hw.wideband import WidebandHardware
 
 __all__ = [
     "Hardware", "FileHardware", "SimHardware",

@@ -194,6 +194,39 @@ class HiqsdrStream:
         return pkt
 
 
+# -------------------------------------------------------------- wideband
+WIDEBAND_PAIRS = 8160          # 48,968-byte jumbo datagrams (codec 2)
+
+
+class WidebandStream:
+    """Jumbo-frame single-stream codec (native codec 2): the TPU-scale
+    ingest transport — the radio protocols are packet-rate-bound at
+    ~1 KB/frame; 48 KB frames make the host path byte-bound (123 Msps
+    zero-loss one socket, 267 Msps on two, bench_ingest r5).  Layout:
+    [0xEF 0xFD][seq u32 BE][flags][0] + n iq24 pairs."""
+
+    def __init__(self, use_native: bool | None = None):
+        self.seq = 0
+        self.seq_errors = 0
+        self.use_native = use_native
+
+    def parse(self, pkt: bytes) -> np.ndarray | None:
+        if len(pkt) < 8 or pkt[0] != 0xEF or pkt[1] != 0xFD:
+            return None
+        seq = int.from_bytes(pkt[2:6], "big")
+        if seq != self.seq:
+            self.seq_errors += 1
+        self.seq = (seq + 1) & 0xFFFFFFFF
+        n = (len(pkt) - 8) // 6
+        return unpack_iq24(pkt[8: 8 + n * 6], self.use_native)
+
+    def build(self, iq: np.ndarray, flags: int = 0) -> bytes:
+        pkt = (bytes([0xEF, 0xFD]) + int(self.seq).to_bytes(4, "big")
+               + bytes([flags & 0xFF, 0]) + pack_iq24(iq, self.use_native))
+        self.seq = (self.seq + 1) & 0xFFFFFFFF
+        return pkt
+
+
 # ----------------------------------------------------------------- metis
 METIS_FRAME_LEN = 1032
 

@@ -95,7 +95,8 @@ class UdpPump:
             # drain everything queued before going back to select
             while True:
                 try:
-                    pkt, addr = self.sock.recvfrom(2048)
+                    # 64 KB: jumbo wideband datagrams must not truncate
+                    pkt, addr = self.sock.recvfrom(65536)
                 except BlockingIOError:
                     break
                 self.peer = addr
@@ -309,12 +310,16 @@ def make_pump(codec, n_rx: int = 1, port: int = 0, host: str = "127.0.0.1",
     elif isinstance(codec, _n.MetisStream) and codec.use_native is not False:
         name = "metis"
         n_rx = codec.n_rx
+    elif isinstance(codec, _n.WidebandStream) \
+            and codec.use_native is not False:
+        name = "wideband"
     if name is not None and _n.have_native_pump():
         return NativePump(name, n_rx=n_rx, port=port, host=host,
                           ring_samples=ring_samples)
     if isinstance(codec, str):
-        codec = (_n.HiqsdrStream() if codec == "hiqsdr"
-                 else _n.MetisStream(n_rx=n_rx))
+        codec = {"hiqsdr": _n.HiqsdrStream,
+                 "wideband": _n.WidebandStream,
+                 "metis": lambda: _n.MetisStream(n_rx=n_rx)}[codec]()
     return UdpPump(codec, n_rx=n_rx, port=port, host=host,
                    ring_samples=ring_samples)
 

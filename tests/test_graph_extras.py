@@ -129,3 +129,21 @@ def test_audio_fft_service_tone():
     assert out is not None and out.shape == (1, 512)
     f = np.linspace(0, 24000.0, 512, endpoint=False)
     assert abs(f[np.argmax(out[0])] - 1000.0) < 50
+
+
+def test_graph_service_overlapped_capture():
+    """GraphService(overlap=0.5): overlapped accumulation streams and a
+    full-scale tone still reads ~0 dBFS on the trace (window/ENBW
+    corrections ride through the service)."""
+    import jax.numpy as jnp
+
+    from quisk_tpu.app.graph import GraphService
+    from quisk_tpu.io import sources
+
+    FS, L, B = 48000.0, 256, 2048
+    gs = GraphService(fft_size=L, block=B, channels=1, sample_rate=FS,
+                      pixels=256, refresh_hz=FS / B, overlap=0.5)
+    x = sources.tone(6000.0, FS, B).astype(np.complex64)[None]
+    trace = gs.feed(jnp.asarray(x))
+    assert trace is not None and trace.shape == (1, 256)
+    assert abs(float(trace.max())) < 1.5          # ~0 dBFS peak

@@ -281,3 +281,34 @@ def test_soapy_read_samples_buffers_and_streamresult():
     got2 = hw.read_samples(16)                  # 5 buffered + fresh reads
     assert got2 is not None and got2.shape == (1, 16)
     np.testing.assert_allclose(got2[0], np.arange(16, 32))
+
+
+def test_wideband_hardware_pump_roundtrip():
+    """hw 'wideband' plugin: jumbo-frame capture source end-to-end."""
+    import threading
+    import time
+
+    import numpy as np
+
+    from quisk_tpu.hw import get_hardware
+    from quisk_tpu.io import native
+    from quisk_tpu.io.pump import blast
+
+    hw = get_hardware("wideband")(n_streams=1, sample_rate=10e6)
+    assert "wideband" in hw.open()
+    if not native.have_native_pump():
+        return
+    addrs = hw.start_pump()
+    t = threading.Thread(target=blast, args=(addrs[0],),
+                         kwargs=dict(codec="wideband", n_rx=1,
+                                     n_packets=8, pace_pps=500.0))
+    t.start()
+    t.join()
+    deadline = time.time() + 2.0
+    blk = None
+    while blk is None and time.time() < deadline:
+        blk = hw.read_samples(8 * 8160)
+        time.sleep(0.02)
+    hw.close()
+    assert blk is not None and blk.shape == (1, 8 * 8160)
+    assert np.isfinite(blk).all()

@@ -134,3 +134,40 @@ def test_bandscope_ep4_frames_feed_bandscope_service():
     assert abs(freqs[np.argmax(db)] - f0) < clock / 2 / 256 * 2
     # malformed frames rejected
     assert parse_bandscope_frame(b"\xEF\xFE\x01\x06" + b"\0" * 1028) is None
+
+
+def test_wideband_codec_python_native_cross():
+    """WidebandStream (python) round-trips and parses the NATIVE
+    blaster's frames; the python fallback pump carries jumbo frames."""
+    import threading
+    import time
+
+    from quisk_tpu.io import native
+    from quisk_tpu.io.native import WidebandStream
+    from quisk_tpu.io.pump import UdpPump, blast
+
+    iq = (np.linspace(-0.9, 0.9, 8160)
+          + 1j * np.linspace(0.9, -0.9, 8160)).astype(np.complex64)
+    ws = WidebandStream()
+    got = WidebandStream().parse(ws.build(iq))
+    assert np.max(np.abs(got - iq)) < 2e-7
+
+    if not native.have_native_pump():
+        return
+    pump = UdpPump(WidebandStream(use_native=False), n_rx=1,
+                   ring_samples=1 << 21)
+    pump.start()
+    t = threading.Thread(target=blast, args=(pump.local_addr,),
+                         kwargs=dict(codec="wideband", n_rx=1,
+                                     n_packets=10, pace_pps=500.0))
+    t.start()
+    t.join()
+    deadline = time.time() + 2.0
+    while pump.available() < 10 * 8160 and time.time() < deadline:
+        time.sleep(0.02)
+    blk = pump.read_samples(10 * 8160)
+    st = pump.stats()
+    pump.stop()
+    assert blk is not None and st["seq_errors"] == 0
+    want = (((np.arange(10 * 8160) % 8160) % 1024) / 2048.0)
+    assert np.max(np.abs(blk[0].real - want)) < 1e-5

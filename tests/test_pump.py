@@ -295,3 +295,36 @@ def test_multipump_merges_aligned_blocks():
     assert blk is not None and blk.shape == (2, 24000)
     assert st["seq_errors"] == 0
     assert np.allclose(blk[0], blk[1])           # identical blasts
+
+
+def test_device_feed_matches_serial_loop():
+    """DeviceFeed(prefetch=1) produces the same outputs/state as the
+    serial put-then-step loop, in order."""
+    import jax
+    import jax.numpy as jnp
+
+    from quisk_tpu.io.feed import DeviceFeed
+
+    @jax.jit
+    def stepf(state, x):
+        s = state + jnp.sum(x)
+        return s, x * 2.0 + s
+
+    rng = np.random.default_rng(0)
+    blocks = [rng.standard_normal((4, 64)).astype(np.float32)
+              for _ in range(5)]
+    st = jnp.float32(0.0)
+    ref_outs = []
+    for b in blocks:
+        st, y = stepf(st, jax.device_put(b))
+        ref_outs.append(np.asarray(y))
+
+    feed = DeviceFeed(stepf, jnp.float32(0.0), prefetch=1)
+    outs = []
+    for b in blocks:
+        outs += feed.push(b)
+    outs += feed.flush()
+    assert len(outs) == len(ref_outs)
+    for a, b in zip(outs, ref_outs):
+        assert np.allclose(np.asarray(a), b)
+    assert np.allclose(float(feed.state), float(st))
