@@ -34,8 +34,7 @@ def main() -> int:
     import jax.numpy as jnp
     from quisk_tpu.io import sources, wav
     from quisk_tpu.modes import Mode
-    from quisk_tpu.ops.channelizer import OversampledPFB
-    from quisk_tpu.ops.demod import GroupedDemod
+    from quisk_tpu.ops.channelizer import PFBRxPipeline
 
     K = args.channels
     fs = 48000.0 * K / 2          # channel rate is 2*fs/K = 96 kHz
@@ -60,19 +59,20 @@ def main() -> int:
                   + 1j * np.random.default_rng(1).standard_normal(n))
     iq = iq.astype(np.complex64)[None]                  # [S=1, n]
 
-    pfb = OversampledPFB.create(K, blk, taps_per_branch=8)
-    demod = GroupedDemod.create([int(Mode.AM)] * K, 2.0 * 48000.0, K)
-    st, dst = pfb.init_state(1), demod.init_state(K)
-    chans, audio = [], []
+    # r5 production path: PFB + IDFT + grouped demod + spectrum in one
+    # fused pipeline (the [K, time] channel batch never materializes;
+    # add pallas_demod=True on TPU for the single-kernel demod)
+    pipe = PFBRxPipeline.create(K, blk, [int(Mode.AM)] * K,
+                                channel_rate=2.0 * 48000.0, mxu_dft=False)
+    st = pipe.init_state(1)
+    audio, pw_acc = [], np.zeros(K)
     for b in range(blocks):
-        st, ch = pfb(st, jnp.asarray(iq[:, b * blk:(b + 1) * blk]))
-        dst, a = demod(dst, ch.reshape(K, -1))
-        chans.append(np.asarray(ch[0]))
-        audio.append(np.asarray(a))
-    ch = np.concatenate(chans, axis=-1)                 # [K, n*2/K]
-    aud = np.concatenate(audio, axis=-1)
+        st, (a, spec) = pipe(st, jnp.asarray(iq[:, b * blk:(b + 1) * blk]))
+        audio.append(np.asarray(a)[0])                  # [n_out, K]
+        pw_acc += np.asarray(spec)[0]
+    aud = np.concatenate(audio, axis=0).T               # [K, n*2/K]
 
-    pw = 10 * np.log10(np.mean(np.abs(ch) ** 2, axis=-1) + 1e-12)
+    pw = 10 * np.log10(pw_acc / blocks + 1e-12)
     top = np.argsort(pw)[::-1][:5]
     print(f"{K}-channel PFB over {fs/1e6:.2f} MHz; strongest channels:")
     for c in sorted(top):

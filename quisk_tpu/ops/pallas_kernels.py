@@ -191,10 +191,11 @@ def _fused_kernel(word_ref, phase_ref, xr_hbm, xi_hbm, M_ref, *rest,
     # mod-2^32 arithmetic, and the angle scale maps 2^32 -> 2pi, so the
     # signed interpretation only shifts angles by multiples of 2pi
     # (Mosaic cannot cast uint32->f32).
-    # (nb mode used to halve the chunk for the 16 MB scoped-VMEM era;
-    # under the 48 MB limit the full chunk fits and was A/B'd on the
-    # featured chain — r5)
-    CH = 1024
+    # (nb mode halves the chunk: the detection scratch + window halos
+    # leave less headroom for the mix-loop temporaries.  r5 note: CH=1024
+    # with nb was tried under the 48 MB limit and HUNG Mosaic compilation
+    # >15 min — keep 512; the honest NB marginal is ~1.6 ms anyway.)
+    CH = 512 if nb is not None else 1024
     for c0 in range(0, Wp, CH):
         ch = min(CH, Wp - c0)        # tail chunk (Wp is only 128-aligned)
         n = (jax.lax.broadcasted_iota(jnp.int32, (TC, ch), 1)
