@@ -286,6 +286,10 @@ def detail_rows(block: int = 16384) -> list:
     rows.append((f"wideband jumbo 2 sockets, max zero-loss paced "
                  f"aggregate ({sww2['x_realtime_per_rx']}x real-time "
                  f"each)", sww2["drained_msps"], sww2))
+    swstr = sweep_zero_loss_striped(2)
+    rows.append((f"wideband STRIPED: one capture over 2 sockets, "
+                 f"reassembled in order ({swstr['x_realtime']}x "
+                 f"real-time)", swstr["drained_msps"], swstr))
     return rows
 
 
@@ -326,3 +330,84 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def sweep_zero_loss_striped(n_sockets: int = 2, block: int | None = None,
+                            secs: float = 1.2, confirm: int = 2) -> dict:
+    """Max ONE-CAPTURE paced rate with zero loss, striped over N sockets
+    (StripedPump reassembly included in the drained path)."""
+    from quisk_tpu.io.pump import StripedPump, blast_striped
+    spf = 8160
+    if block is None:
+        block = 8 * n_sockets * spf
+
+    def run_at(pps: float) -> dict:
+        sp = StripedPump(n_sockets=n_sockets, ring_samples=1 << 22)
+        sp.start()
+        drained = 0
+        stop = threading.Event()
+
+        def consume():
+            nonlocal drained
+            while not stop.is_set():
+                x = sp.read_samples(block)
+                if x is None:
+                    time.sleep(0.0002)
+                    continue
+                drained += block
+
+        ct = threading.Thread(target=consume, daemon=True)
+        ct.start()
+        npk = max(200, int(pps * secs)) // n_sockets * n_sockets
+        t0 = time.perf_counter()
+        sent = blast_striped(sp.local_addrs, npk, pace_pps=pps)
+        deadline = time.time() + 2.0
+        last = -1
+        while time.time() < deadline:
+            s = sp.stats()["samples"]
+            if s == last:
+                break
+            last = s
+            time.sleep(0.05)
+        dt = time.perf_counter() - t0
+        stop.set()
+        ct.join(timeout=1.0)
+        st = sp.stats()
+        sp.stop()
+        sp.close()
+        return {
+            "n_sockets": n_sockets, "packets_sent": sent,
+            "packets_parsed": st["packets"], "seconds": round(dt, 3),
+            "aggregate_msps": round(st["samples"] / dt / 1e6, 1),
+            "drained_msps": round(drained / dt / 1e6, 1),
+            "seq_errors": st["seq_errors"],
+            "ring_overruns": st["ring_overruns"],
+            "clean": (st["seq_errors"] == 0 and st["ring_overruns"] == 0
+                      and st["packets"] == sent),
+        }
+
+    lo = 384_000 / spf
+    hi = lo
+    best = None
+    while True:
+        r = run_at(hi)
+        if not r["clean"]:
+            break
+        best, lo = r, hi
+        hi *= 2.0
+        if lo * spf > 2e9:
+            break
+    for _ in range(6):
+        if hi / lo < 1.05:
+            break
+        mid = (lo * hi) ** 0.5
+        runs = [run_at(mid) for _ in range(confirm)]
+        if all(r["clean"] for r in runs):
+            best, lo = runs[-1], mid
+        else:
+            hi = mid
+    out = dict(best or run_at(lo))
+    out["metric"] = f"ingest_wideband_striped_{n_sockets}sock_one_capture"
+    out["pace_pps_total"] = round(lo, 1)
+    out["x_realtime"] = round(lo * spf / 384_000, 1)
+    return out

@@ -110,8 +110,11 @@ int64_t qt_hiqsdr_build(const float* in_i, const float* in_q, uint8_t seq,
 // 9k-MTU jumbo frames via kernel UDP fragmentation or GSO), making the
 // path byte-bound instead.  Layout:
 //   [0xEF 0xFD][seq:u32 BE][flags:u8][0]  +  n iq24 pairs.
+// seq_step > 1 supports STRIPED streams: one logical capture split
+// round-robin over N sockets, socket i carrying seqs i, i+N, i+2N...
 int64_t qt_wideband_parse(const uint8_t* pkt, int64_t len,
-                          uint32_t* seq_state, int64_t* seq_errors,
+                          uint32_t* seq_state, uint32_t seq_step,
+                          int64_t* seq_errors,
                           float* out_i, float* out_q) {
   if (len < 8 || pkt[0] != 0xEF || pkt[1] != 0xFD) return -1;
   int64_t np = (len - 8) / 6;
@@ -119,7 +122,7 @@ int64_t qt_wideband_parse(const uint8_t* pkt, int64_t len,
   uint32_t seq = ((uint32_t)pkt[2] << 24) | ((uint32_t)pkt[3] << 16) |
                  ((uint32_t)pkt[4] << 8) | (uint32_t)pkt[5];
   if (seq != *seq_state) ++*seq_errors;
-  *seq_state = seq + 1;
+  *seq_state = seq + seq_step;
   qt_unpack_iq24(pkt + 8, np, out_i, out_q);
   return np;
 }
@@ -300,6 +303,7 @@ struct QtPump {
   uint8_t hiq_seq = 0;
   uint32_t metis_seq = 0;
   uint32_t wb_seq = 0;
+  uint32_t wb_step = 1;
   uint8_t ctl[10] = {0};
   uint8_t status = 0;
   // Hermes radio->PC status plane (quisk.c:3641-3718): C1..C4 for rows
@@ -369,6 +373,14 @@ int32_t qt_pump_port(void* h) {
   return (int32_t)ntohs(a.sin_port);
 }
 
+// Configure the wideband sequence expectation for STRIPED streams:
+// this socket carries seqs seq0, seq0+step, seq0+2*step, ...
+void qt_pump_set_seq(void* h, uint32_t seq0, uint32_t step) {
+  QtPump* p = (QtPump*)h;
+  p->wb_seq = seq0;
+  p->wb_step = step ? step : 1;
+}
+
 static void qt_pump_loop(QtPump* p) {
   const int BATCH = p->codec == 2 ? 16 : 64;
   const int MTU = p->codec == 2 ? 49152 + 64 : 2048;
@@ -406,7 +418,8 @@ static void qt_pump_loop(QtPump* p) {
         int64_t len = msgs[m].msg_len;
         int64_t se = 0;
         if (p->codec == 2) {
-          int64_t ns = qt_wideband_parse(pkt, len, &p->wb_seq, &se,
+          int64_t ns = qt_wideband_parse(pkt, len, &p->wb_seq,
+                                         p->wb_step, &se,
                                          wbi.data(), wbq.data());
           if (ns < 0) { ++p->bad; continue; }
           for (int64_t k = 0; k < ns; ++k) {
@@ -548,8 +561,20 @@ int64_t qt_pump_read_mic(void* h, float* out, int64_t n) {
 // Returns packets sent.  (The test-fixture role of the reference's WAV
 // replay senders, quisk.c:292-577, at benchmark rates.)
 
+int64_t qt_blast_seq(const char* host, int32_t port, int32_t codec,
+                     int32_t n_rx, int64_t n_packets, double pace_pps,
+                     uint32_t seq0, uint32_t seq_step);
+
 int64_t qt_blast(const char* host, int32_t port, int32_t codec, int32_t n_rx,
                  int64_t n_packets, double pace_pps) {
+  return qt_blast_seq(host, port, codec, n_rx, n_packets, pace_pps, 0, 1);
+}
+
+// Striped-capable blaster: sequence numbers start at seq0 and advance by
+// seq_step per packet (a striped sender runs one of these per socket).
+int64_t qt_blast_seq(const char* host, int32_t port, int32_t codec,
+                     int32_t n_rx, int64_t n_packets, double pace_pps,
+                     uint32_t seq0, uint32_t seq_step) {
   int fd = socket(AF_INET, SOCK_DGRAM, 0);
   if (fd < 0) return -1;
   int snd = 1 << 24;
@@ -607,12 +632,13 @@ int64_t qt_blast(const char* host, int32_t port, int32_t codec, int32_t n_rx,
     msgs[k].msg_hdr.msg_iovlen = 1;
   }
   int64_t sent = 0;
-  uint32_t seq = 0;
+  uint32_t seq = seq0;
+  if (!seq_step) seq_step = 1;
   timespec t0;
   clock_gettime(CLOCK_MONOTONIC, &t0);
   while (sent < n_packets) {
     int want = (int)(n_packets - sent < BATCH ? n_packets - sent : BATCH);
-    for (int k = 0; k < want; ++k, ++seq) {
+    for (int k = 0; k < want; ++k, seq += seq_step) {
       uint8_t* pkt = bufs.data() + (size_t)k * stride;
       if (codec == 0) {
         pkt[0] = (uint8_t)seq;

@@ -105,6 +105,18 @@ def _bind_pump(lib):
     lib.qt_pump_overrange.argtypes = [ctypes.c_void_p]
     lib.qt_pump_take_ack.restype = ctypes.c_int32
     lib.qt_pump_take_ack.argtypes = [ctypes.c_void_p, c_u8p]
+    # striped wideband (r5) — guarded: a stale .so may predate these
+    try:
+        lib.qt_pump_set_seq.argtypes = [ctypes.c_void_p, ctypes.c_uint32,
+                                        ctypes.c_uint32]
+        lib.qt_blast_seq.restype = ctypes.c_int64
+        lib.qt_blast_seq.argtypes = [ctypes.c_char_p, ctypes.c_int32,
+                                     ctypes.c_int32, ctypes.c_int32,
+                                     ctypes.c_int64, ctypes.c_double,
+                                     ctypes.c_uint32, ctypes.c_uint32]
+        lib._has_striped = True
+    except AttributeError:
+        lib._has_striped = False
 
 
 def have_native() -> bool:

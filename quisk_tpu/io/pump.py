@@ -465,3 +465,108 @@ class PacketSender:
 
     def close(self) -> None:
         self.sock.close()
+
+
+class StripedPump:
+    """ONE logical wideband capture striped round-robin over N sockets.
+
+    :class:`MultiPump` aggregates INDEPENDENT streams; this reassembles a
+    single stream whose sender stripes packet seq % N to socket i —
+    pump i expects seqs i, i+N, i+2N (native ``qt_pump_set_seq``), so
+    per-socket sequence integrity still catches loss, and
+    ``read_samples`` interleaves packet-sized (8160-sample) chunks back
+    into capture order.  This is how a single capture exceeds the
+    one-socket ceiling (bench_ingest r5: 123 Msps one socket, ~267
+    aggregate on two).
+    """
+
+    PKT = 8160                  # samples per wideband packet
+
+    def __init__(self, n_sockets: int = 2, host: str = "127.0.0.1",
+                 ring_samples: int = 1 << 22):
+        from quisk_tpu.io import native
+        lib = native._find_lib()
+        if not getattr(lib, "_has_striped", False):
+            raise RuntimeError("native library lacks striped support "
+                               "(rebuild: make -C native)")
+        self.pumps = [NativePump("wideband", n_rx=1, host=host,
+                                 ring_samples=ring_samples)
+                      for _ in range(n_sockets)]
+        for i, p in enumerate(self.pumps):
+            lib.qt_pump_set_seq(p._h, i, n_sockets)
+        self.n = n_sockets
+        self.local_addrs = [p.local_addr for p in self.pumps]
+        self.starved = 0
+
+    def start(self) -> None:
+        for p in self.pumps:
+            p.start()
+
+    def stop(self) -> None:
+        for p in self.pumps:
+            p.stop()
+
+    def close(self) -> None:
+        for p in self.pumps:
+            p.close()
+
+    def available(self) -> int:
+        """Reassemblable samples (whole packets, capture order)."""
+        m = min(p.available() for p in self.pumps)
+        return (m // self.PKT) * self.PKT * self.n
+
+    def read_samples(self, n: int) -> np.ndarray | None:
+        """One [1, n] complex64 block; n % (n_sockets*8160) == 0."""
+        unit = self.PKT * self.n
+        if n % unit:
+            raise ValueError(f"n must be a multiple of {unit}")
+        if self.available() < n:
+            self.starved += 1
+            return None
+        out = np.empty((1, n), np.complex64)
+        per = n // self.n
+        parts = [p.read_samples(per)[0] for p in self.pumps]
+        for j in range(n // self.PKT):
+            src = parts[j % self.n]
+            k = j // self.n
+            out[0, j * self.PKT:(j + 1) * self.PKT] = \
+                src[k * self.PKT:(k + 1) * self.PKT]
+        return out
+
+    def stats(self) -> dict:
+        per = [p.stats() for p in self.pumps]
+        agg = {k: sum(s[k] for s in per)
+               for k in ("packets", "bad_packets", "samples", "seq_errors",
+                         "ring_overruns")}
+        agg["fill"] = self.available()
+        agg["starved"] = self.starved
+        agg["per_pump"] = per
+        return agg
+
+
+def blast_striped(addrs, n_packets: int, pace_pps: float = 0.0) -> int:
+    """Stripe a wideband blast over the given socket addresses: sender i
+    carries seqs i, i+N, i+2N at pace_pps/N each (total rate pace_pps).
+    Blocks until all senders finish; returns packets sent."""
+    import threading
+
+    from quisk_tpu.io import native as _n
+    lib = _n._find_lib()
+    if not getattr(lib, "_has_striped", False):
+        raise RuntimeError("native library lacks striped support")
+    n = len(addrs)
+    sent = [0] * n
+
+    def run(i):
+        host, port = addrs[i]
+        sent[i] = int(lib.qt_blast_seq(
+            host.encode(), port, NativePump.CODEC_IDS["wideband"], 1,
+            n_packets // n, pace_pps / n if pace_pps > 0 else 0.0,
+            i, n))
+
+    ths = [threading.Thread(target=run, args=(i,)) for i in range(n)]
+    for t in ths:
+        t.start()
+    for t in ths:
+        t.join()
+    return sum(sent)

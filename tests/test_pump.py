@@ -328,3 +328,76 @@ def test_device_feed_matches_serial_loop():
     for a, b in zip(outs, ref_outs):
         assert np.allclose(np.asarray(a), b)
     assert np.allclose(float(feed.state), float(st))
+
+
+def test_striped_pump_reassembles_one_capture_in_order():
+    """StripedPump: ONE wideband capture striped over 2 sockets comes
+    back in capture order with per-socket sequence integrity.  Packets
+    carry distinct constant payloads (value = seq/100) so reassembly
+    order is verified by CONTENT, not just counters."""
+    import socket
+    import time
+
+    import pytest
+
+    from quisk_tpu.io import native
+    from quisk_tpu.io.native import WidebandStream
+    from quisk_tpu.io.pump import StripedPump
+
+    if not native.have_native_pump():
+        pytest.skip("native ingest library not built")
+    lib = native._find_lib()
+    if not getattr(lib, "_has_striped", False):
+        pytest.skip("stale native library without striped support")
+
+    N, NPKT = 2, 8
+    sp = StripedPump(n_sockets=N, ring_samples=1 << 20)
+    sp.start()
+    snd = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    ws = WidebandStream()
+    for seq in range(NPKT):
+        iq = np.full(8160, (seq + 1) / 100.0, np.complex64)
+        pkt = ws.build(iq)                 # ws.seq == seq at build time
+        snd.sendto(pkt, sp.local_addrs[seq % N])
+    deadline = time.time() + 2.0
+    while sp.available() < NPKT * 8160 and time.time() < deadline:
+        time.sleep(0.02)
+    blk = sp.read_samples(NPKT * 8160)
+    st = sp.stats()
+    sp.stop()
+    sp.close()
+    snd.close()
+    assert blk is not None
+    assert st["seq_errors"] == 0 and st["ring_overruns"] == 0, st
+    for seq in range(NPKT):
+        seg = blk[0, seq * 8160:(seq + 1) * 8160].real
+        assert np.allclose(seg, (seq + 1) / 100.0, atol=1e-5), seq
+
+
+def test_blast_striped_native_roundtrip():
+    """Native striped blaster -> StripedPump: zero loss at a paced rate
+    across both sockets."""
+    import time
+
+    import pytest
+
+    from quisk_tpu.io import native
+    from quisk_tpu.io.pump import StripedPump, blast_striped
+
+    if not native.have_native_pump():
+        pytest.skip("native ingest library not built")
+    lib = native._find_lib()
+    if not getattr(lib, "_has_striped", False):
+        pytest.skip("stale native library without striped support")
+    sp = StripedPump(n_sockets=2, ring_samples=1 << 21)
+    sp.start()
+    sent = blast_striped(sp.local_addrs, n_packets=40, pace_pps=2000.0)
+    deadline = time.time() + 2.0
+    while sp.available() < 40 * 8160 and time.time() < deadline:
+        time.sleep(0.02)
+    blk = sp.read_samples(40 * 8160)
+    st = sp.stats()
+    sp.stop()
+    sp.close()
+    assert sent == 40 and blk is not None
+    assert st["seq_errors"] == 0 and st["ring_overruns"] == 0, st
