@@ -34,6 +34,12 @@ def main(argv=None) -> int:
     ap.add_argument("--devices-per-proc", type=int, default=4)
     ap.add_argument("--channels", type=int, default=16)
     ap.add_argument("--blocks", type=int, default=3)
+    ap.add_argument("--pfb", action="store_true",
+                    help="run the sharded PFB channelizer job instead "
+                         "of the per-channel chain (BASELINE config #5 "
+                         "'across >=2 hosts': time-sharded polyphase "
+                         "with ppermute halos riding DCN between the "
+                         "processes + one all-to-all corner turn)")
     args = ap.parse_args(argv)
 
     # platform/device-count config must precede any jax use; drop any
@@ -59,6 +65,10 @@ def main(argv=None) -> int:
                                               shard_tree_multihost)
 
     n_global = args.nproc * args.devices_per_proc
+
+    if args.pfb:
+        return _pfb_job(args, n_global)
+
     mesh = Mesh(np.array(jax.devices()[:n_global]), ("chan",))
     C = args.channels
     # agc off: its 1 s release memory carries the filter-warmup transient
@@ -103,6 +113,64 @@ def main(argv=None) -> int:
     print(f"dcn_worker pid={args.pid} OK: process_count="
           f"{jax.process_count()}, devices={len(jax.devices())}, "
           f"rows [{lo},{hi}), audio {local_audio.shape}")
+    jax.distributed.shutdown()
+    return 0
+
+
+def _pfb_job(args, n_global: int) -> int:
+    """BASELINE config #5 across processes: ONE wideband capture
+    time-sharded over the global mesh (each process owns its devices'
+    time slices), polyphase halos exchanged with ppermute (crossing the
+    process boundary = DCN), one all-to-all corner turn, demod
+    channel-sharded.  Each process writes its addressable audio rows;
+    the parent checks them against the unsharded pipeline."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from quisk_tpu.modes import Mode
+    from quisk_tpu.ops.channelizer import OversampledPFB
+    from quisk_tpu.ops.demod import MixedDemod
+    from quisk_tpu.parallel.multihost import shard_tree_multihost
+    from quisk_tpu.parallel.pfbshard import make_sharded_pfb_step
+
+    mesh = Mesh(np.array(jax.devices()[:n_global]), ("dev",))
+    K = 16 * n_global
+    B = K * 8 * n_global
+    modes = [int(Mode.USB), int(Mode.AM), int(Mode.FM)]
+    pfb = OversampledPFB.create(K, B, taps_per_branch=8, mxu_dft=True)
+    dm = MixedDemod.create([modes[(3 * i) // K] for i in range(K)],
+                           sample_rate=96000.0, channels=K)
+    step = make_sharded_pfb_step(pfb, dm, mesh)
+    dm_s = shard_tree_multihost(dm, mesh, K, axis="dev")
+    st_s = shard_tree_multihost(dm.init_state(K), mesh, K, axis="dev")
+
+    rng = np.random.default_rng(7)
+    xs = [(rng.standard_normal((1, B)) + 1j * rng.standard_normal((1, B))
+           ).astype(np.complex64) for _ in range(args.blocks)]
+    H = pfb.P * K - K // 2
+    hist = jax.make_array_from_callback(
+        (1, H), NamedSharding(mesh, P()),
+        lambda idx: np.zeros((1, H), np.complex64)[idx])
+    audio = None
+    xsh = NamedSharding(mesh, P(None, "dev"))
+    for xh in xs:
+        x = jax.make_array_from_callback((1, B), xsh,
+                                         lambda idx, xh=xh: xh[idx])
+        st_s, hist, audio, spec = step(dm_s, st_s, hist, x)
+    shards = sorted(audio.addressable_shards,
+                    key=lambda s: s.index[1].start)
+    rows = np.concatenate([np.asarray(s.data) for s in shards], axis=1)
+    lo = shards[0].index[1].start
+    hi = shards[-1].index[1].stop
+    os.makedirs(args.outdir, exist_ok=True)
+    np.savez(os.path.join(args.outdir, f"pfb_p{args.pid}.npz"),
+             audio=rows[0], lo=lo, hi=hi,
+             process_count=jax.process_count())
+    print(f"dcn_worker PFB pid={args.pid} OK: {K}ch over "
+          f"{jax.process_count()} processes x "
+          f"{args.devices_per_proc} devices, rows [{lo},{hi})")
     jax.distributed.shutdown()
     return 0
 
