@@ -155,6 +155,7 @@ def _conformance_snr(mode, fused: bool, nblk: int = 3) -> float:
                         agc=False, fused_frontend=fused)
     tune = 123456.0
     chain = RxChain.create(cfg, tune_hz=tune, mode=int(mode))
+    assert (chain.front is not None) == fused   # Pallas front engaged
     n = nblk * chain.block_in
     iq = sources.station_iq(mode, FS, n, carrier_hz=tune, seed=3)
     iq = (iq + sources.awgn(iq, snr_db=60.0, seed=4) - iq  # mild noise
