@@ -830,8 +830,9 @@ def main():
               f"- {pfb['metric']}: {pfb['value']} {pfb['unit']} "
               f"({pfb['ms_per_block']} ms/block, dispatch floor "
               f"{pfb['dispatch_floor_pct']}% of the window, IDFT "
-              f"{pfb.get('idft')}; IDFT A/B {pfb.get('ab_idft_msps')}; "
-              f"demod {pfb.get('demod')})",
+              f"{pfb.get('idft')}; demod {pfb.get('demod')}"
+              + (f"; IDFT A/B {pfb['ab_idft_msps']}"
+                 if pfb.get("ab_idft_msps") else "") + ")",
               f"  - fused-vs-corner-turn A/B (this run): fused "
               f"{pfb['value']} vs unfused {pfb_un['value']} Msps "
               f"({pfb['ms_per_block']} vs {pfb_un['ms_per_block']} "

@@ -328,8 +328,6 @@ def main():
     print(json.dumps(r))
 
 
-if __name__ == "__main__":
-    main()
 
 
 def sweep_zero_loss_striped(n_sockets: int = 2, block: int | None = None,
@@ -411,3 +409,7 @@ def sweep_zero_loss_striped(n_sockets: int = 2, block: int | None = None,
     out["pace_pps_total"] = round(lo, 1)
     out["x_realtime"] = round(lo * spf / 384_000, 1)
     return out
+
+
+if __name__ == "__main__":
+    main()
