@@ -900,14 +900,25 @@ class Radio:
             audio = self._duplex_audio(np.asarray(audio), keyed, cw_key, mic)
         audio = audio * (0.0 if self.muted else self.volume)
         trace = self.graph.feed(x)
+        zs = getattr(self, "_zoomspec", None)
+        if zs is not None:
+            self._zoom_state, _ = zs.accumulate(self._zoom_state, x[0:1])
         if trace is not None:
             self.waterfall.add_row(trace[0])
             if getattr(self, "webui", None) is not None:
-                # trace rows are rebinned to graph.pixels display bins
-                df = self.cfg.sample_rate / self.graph.pixels
-                self.webui.send_spectrum(
-                    self.vfo_hz - 0.5 * self.cfg.sample_rate, df,
-                    trace[0], self.smeter_db())
+                zrow = self._zoom_trace() if zs is not None else None
+                if zrow is not None:
+                    # multi-resolution re-capture: a true finer-resolution
+                    # row over the zoom window (wdsp/analyzer.c spans),
+                    # not an interpolation of base-FFT pixels
+                    self.webui.send_spectrum(zrow[0], zrow[1], zrow[2],
+                                             self.smeter_db(), raw=True)
+                else:
+                    # trace rows are rebinned to graph.pixels display bins
+                    df = self.cfg.sample_rate / self.graph.pixels
+                    self.webui.send_spectrum(
+                        self.vfo_hz - 0.5 * self.cfg.sample_rate, df,
+                        trace[0], self.smeter_db())
                 if self.cfg.channels > 1:
                     # narrow per-sub-RX panels (quisk.c:4868)
                     self.webui.send_multirx(self.vfo_hz,
@@ -1316,6 +1327,65 @@ class Radio:
         (quisk.c:5212/5311; wdsp/analyzer.c window table)."""
         self.graph.set_window(window)
         self.cfg.graph_window = window
+
+    # ---- multi-resolution zoom (wdsp/analyzer.c span management) ---------
+    def set_zoom(self, zoom: float, center_hz: float | None = None) -> None:
+        """UI zoom control.  Past the base FFT's resolution limit
+        (fft_size/pixels), pixel re-binning only interpolates — so the
+        radio engages a :class:`~quisk_tpu.ops.spectrum.ZoomSpectrum`
+        re-capture of the view (mix to the view center, lowpass decimate,
+        re-FFT) whose rows genuinely resolve ``decim`` times finer.  The
+        NCO word is data: panning retunes without recompiling."""
+        from quisk_tpu.ops.spectrum import ZoomSpectrum
+
+        self.ui_zoom = float(zoom)
+        fs = self.cfg.sample_rate
+        self.ui_zoom_center = (float(center_hz) if center_hz is not None
+                               else self.vfo_hz)
+        native_limit = self.graph.sa.fft_size / self.graph.pixels
+        if zoom <= max(1.0, native_limit):
+            self._zoomspec = None
+            self._zoom_state = None
+            return
+        fft_z = 512
+        block = self.chain.block_in
+        # need >= 1 analyzer bin per displayed pixel in the zoom window:
+        # bins-in-window = decim*fft_z/zoom
+        need = zoom * self.graph.pixels / fft_z
+        cands = [d for d in (2, 4, 8, 16, 32, 64, 128, 256, 512)
+                 if block % d == 0 and (block // d) % fft_z == 0]
+        if not cands:
+            self._zoomspec = None
+            self._zoom_state = None
+            return
+        decim = min((d for d in cands if d >= need), default=max(cands))
+        center_bb = self.ui_zoom_center - self.vfo_hz   # baseband offset
+        zs = getattr(self, "_zoomspec", None)
+        if zs is not None and zs.decim == decim:
+            self._zoomspec = zs.retuned(center_bb, fs)  # data-only pan
+        else:
+            self._zoomspec = ZoomSpectrum.create(
+                fft_z, block, center_hz=center_bb, sample_rate=fs,
+                decim=decim, overlap=0.5)
+            self._zoom_state = self._zoomspec.init_state(1)
+
+    def _zoom_trace(self):
+        """(start_hz, bin_hz, row[pixels]) of the re-captured zoom view,
+        or None until the zoomed average has data."""
+        zs = self._zoomspec
+        st = self._zoom_state
+        if zs is None or st is None or float(st[2][1]) < 1.0:
+            return None
+        fs = self.cfg.sample_rate
+        db = np.asarray(zs.graph_db(st))[0]
+        f = zs.freqs(fs, center_hz=self.ui_zoom_center)   # absolute Hz
+        span = fs / self.ui_zoom
+        lo = self.ui_zoom_center - 0.5 * span
+        px = self.graph.pixels
+        xi = lo + (np.arange(px) + 0.5) * (span / px)
+        row = np.interp(xi, f, db).astype(np.float32)
+        self._zoom_state = (st[0], st[1], zs.an.reset(st[2]))
+        return lo, span / px, row
 
     # ---- favorites / memory stations / station markers -------------------
     # (ConfigFavorites quisk.py:1757, memoryState 3825 + 6228-6264,

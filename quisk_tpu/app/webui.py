@@ -476,11 +476,16 @@ class WebUIServer:
         return start_hz + lo * bin_hz, bin_hz * span / n, zoomed
 
     def send_spectrum(self, start_hz: float, bin_hz: float,
-                      db_row: np.ndarray, smeter_db: float = -140.0) -> None:
+                      db_row: np.ndarray, smeter_db: float = -140.0,
+                      raw: bool = False) -> None:
         """Stream one channel-0 spectrum row (get_graph's dB pixels,
-        quisk.c:5271-5326) to every connected page."""
+        quisk.c:5271-5326) to every connected page.  ``raw=True`` skips
+        the pixel zoom window — the row already covers the view at its
+        own (finer) resolution (Radio's ZoomSpectrum re-capture)."""
         row = np.asarray(db_row, np.float32)
-        start_hz, bin_hz, row = self._zoom_window(start_hz, bin_hz, row)
+        if not raw:
+            start_hz, bin_hz, row = self._zoom_window(start_hz, bin_hz,
+                                                      row)
         payload = (b"S" + struct.pack("<3xddf", float(start_hz),
                                       float(bin_hz), float(smeter_db))
                    + row.tobytes())
@@ -605,6 +610,11 @@ class WebUIServer:
                 self.zoom_center = float(msg["center"])
             elif z <= 1.0:
                 self.zoom_center = None
+            if hasattr(self.control, "set_zoom"):
+                # multi-resolution re-capture past the base FFT's
+                # resolution (wdsp analyzer spans): the radio engages a
+                # ZoomSpectrum and streams true finer-resolution rows
+                self.control.set_zoom(z, self.zoom_center)
         else:
             return
         self.send_state()

@@ -186,3 +186,56 @@ def test_hardware_heartbeat_and_return_frequency():
     r.run_once()
     assert r.freq_hz == 9000.0
     assert hw.tx_frequency == 9000          # echoed back as the dial
+
+
+def test_radio_multiresolution_zoom_recapture():
+    """Past the base FFT's resolution, set_zoom engages a ZoomSpectrum
+    re-capture: two tones 80 Hz apart (inside ONE base-FFT bin at
+    93.75 Hz) resolve as two peaks in the zoomed trace at the right
+    absolute frequencies (wdsp/analyzer.c multi-resolution spans)."""
+    from quisk_tpu.hw.base import SimHardware
+
+    class TwoTone(SimHardware):
+        def read_samples(self, n):
+            t = (np.arange(n) + self._n0) / self.sample_rate
+            self._n0 += n
+            x = (0.5 * np.exp(2j * np.pi * 40000.0 * t)
+                 + 0.5 * np.exp(2j * np.pi * 40080.0 * t))
+            return x.astype(np.complex64)[None]
+
+    cfg = RadioConfig(sample_rate=192000.0, mode="USB", tune_hz=10000.0,
+                      audio_block=2048)
+    hw = TwoTone(cfg)
+    hw._n0 = 0
+    radio = Radio(cfg, hardware=hw)
+    radio.open()
+    base_bin = cfg.sample_rate / radio.graph.sa.fft_size
+    assert base_bin > 80.0                    # the tones share a base bin
+    center = radio.vfo_hz + 40040.0
+    radio.set_zoom(64.0, center)
+    assert radio._zoomspec is not None
+    radio.run(blocks=6)
+    zrow = radio._zoom_trace()
+    radio.close()
+    assert zrow is not None
+    lo, bin_hz, row = zrow
+    # resolution must beat the base FFT
+    zres = cfg.sample_rate / (radio._zoomspec.decim
+                              * radio._zoomspec.an.fft_size)
+    assert zres < base_bin / 2
+    # two distinct peaks at the right absolute frequencies
+    r = row - row.min()
+    pk = [i for i in range(1, len(r) - 1)
+          if r[i] >= r[i - 1] and r[i] >= r[i + 1]
+          and r[i] > 0.7 * r.max()]
+    # collapse plateaus
+    groups = []
+    for i in pk:
+        if groups and i - groups[-1][-1] <= 2:
+            groups[-1].append(i)
+        else:
+            groups.append([i])
+    freqs = sorted(lo + bin_hz * (np.mean(g) + 0.5) for g in groups)
+    assert len(freqs) == 2, (len(freqs), freqs)
+    assert abs(freqs[0] - (radio.vfo_hz + 40000.0)) < 2 * zres
+    assert abs(freqs[1] - (radio.vfo_hz + 40080.0)) < 2 * zres
