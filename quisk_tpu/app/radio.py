@@ -900,13 +900,16 @@ class Radio:
             audio = self._duplex_audio(np.asarray(audio), keyed, cw_key, mic)
         audio = audio * (0.0 if self.muted else self.volume)
         trace = self.graph.feed(x)
-        zs = getattr(self, "_zoomspec", None)
-        if zs is not None:
-            self._zoom_state, _ = zs.accumulate(self._zoom_state, x[0:1])
+        self._apply_zoom_req()               # radio-thread zoom changes
+        cap = getattr(self, "_zoomcap", None)
+        if cap is not None:
+            zs, zst = cap
+            zst, _ = zs.accumulate(zst, x[0:1])
+            self._zoomcap = (zs, zst)
         if trace is not None:
             self.waterfall.add_row(trace[0])
             if getattr(self, "webui", None) is not None:
-                zrow = self._zoom_trace() if zs is not None else None
+                zrow = self._zoom_trace() if cap is not None else None
                 if zrow is not None:
                     # multi-resolution re-capture: a true finer-resolution
                     # row over the zoom window (wdsp/analyzer.c spans),
@@ -1334,47 +1337,67 @@ class Radio:
         (fft_size/pixels), pixel re-binning only interpolates — so the
         radio engages a :class:`~quisk_tpu.ops.spectrum.ZoomSpectrum`
         re-capture of the view (mix to the view center, lowpass decimate,
-        re-FFT) whose rows genuinely resolve ``decim`` times finer.  The
-        NCO word is data: panning retunes without recompiling."""
+        re-FFT) whose rows genuinely resolve ``decim`` times finer.
+
+        Thread-safe by STAGING: this may be called from the web UI's
+        server thread, so it only records the request; the radio loop
+        applies it between blocks (the same pattern as the _dirty-flag
+        chain updates — webui writes must never race run_once)."""
+        self._zoom_req = (float(zoom),
+                          float(center_hz) if center_hz is not None
+                          else None)
+
+    def _apply_zoom_req(self) -> None:
+        """Radio-thread application of the staged zoom request, plus
+        re-derivation when the VFO moved (the capture NCO mixes a
+        vfo-RELATIVE offset — after a retune the old offset would show
+        a shifted band under stale labels)."""
         from quisk_tpu.ops.spectrum import ZoomSpectrum
 
-        self.ui_zoom = float(zoom)
-        fs = self.cfg.sample_rate
-        self.ui_zoom_center = (float(center_hz) if center_hz is not None
-                               else self.vfo_hz)
-        native_limit = self.graph.sa.fft_size / self.graph.pixels
-        if zoom <= max(1.0, native_limit):
-            self._zoomspec = None
-            self._zoom_state = None
+        req = getattr(self, "_zoom_req", None)
+        cap = getattr(self, "_zoomcap", None)
+        if req is None and (cap is None
+                            or getattr(self, "_zoom_vfo", None)
+                            == self.vfo_hz):
             return
+        if req is not None:
+            self.ui_zoom, center = req
+            self.ui_zoom_center = (center if center is not None
+                                   else self.vfo_hz)
+            self._zoom_req = None
+        zoom = self.ui_zoom
+        fs = self.cfg.sample_rate
+        self._zoom_vfo = self.vfo_hz
+        native_limit = self.graph.sa.fft_size / self.graph.pixels
         fft_z = 512
         block = self.chain.block_in
-        # need >= 1 analyzer bin per displayed pixel in the zoom window:
-        # bins-in-window = decim*fft_z/zoom
-        need = zoom * self.graph.pixels / fft_z
+        # decim must stay <= zoom so the re-captured span fs/decim COVERS
+        # the displayed window fs/zoom (a larger decim would leave the
+        # outer pixels as edge-clamped fabrication), and decim*fft_z must
+        # beat the base FFT or the re-capture adds nothing
         cands = [d for d in (2, 4, 8, 16, 32, 64, 128, 256, 512)
-                 if block % d == 0 and (block // d) % fft_z == 0]
-        if not cands:
-            self._zoomspec = None
-            self._zoom_state = None
+                 if block % d == 0 and (block // d) % fft_z == 0
+                 and d <= zoom and d * fft_z > self.graph.sa.fft_size]
+        if zoom <= max(1.0, native_limit) or not cands:
+            self._zoomcap = None
             return
-        decim = min((d for d in cands if d >= need), default=max(cands))
+        decim = max(cands)
         center_bb = self.ui_zoom_center - self.vfo_hz   # baseband offset
-        zs = getattr(self, "_zoomspec", None)
-        if zs is not None and zs.decim == decim:
-            self._zoomspec = zs.retuned(center_bb, fs)  # data-only pan
-        else:
-            self._zoomspec = ZoomSpectrum.create(
-                fft_z, block, center_hz=center_bb, sample_rate=fs,
-                decim=decim, overlap=0.5)
-            self._zoom_state = self._zoomspec.init_state(1)
+        zs = ZoomSpectrum.create(fft_z, block, center_hz=center_bb,
+                                 sample_rate=fs, decim=decim, overlap=0.5)
+        # fresh state on every engage/pan/retune: the decimator history
+        # and running average hold the OLD passband — blending them into
+        # the new view would show wrong data under the new labels
+        self._zoomcap = (zs, zs.init_state(1))
 
     def _zoom_trace(self):
         """(start_hz, bin_hz, row[pixels]) of the re-captured zoom view,
         or None until the zoomed average has data."""
-        zs = self._zoomspec
-        st = self._zoom_state
-        if zs is None or st is None or float(st[2][1]) < 1.0:
+        cap = getattr(self, "_zoomcap", None)
+        if cap is None:
+            return None
+        zs, st = cap
+        if float(st[2][1]) < 1.0:
             return None
         fs = self.cfg.sample_rate
         db = np.asarray(zs.graph_db(st))[0]
@@ -1384,7 +1407,7 @@ class Radio:
         px = self.graph.pixels
         xi = lo + (np.arange(px) + 0.5) * (span / px)
         row = np.interp(xi, f, db).astype(np.float32)
-        self._zoom_state = (st[0], st[1], zs.an.reset(st[2]))
+        self._zoomcap = (zs, (st[0], st[1], zs.an.reset(st[2])))
         return lo, span / px, row
 
     # ---- favorites / memory stations / station markers -------------------

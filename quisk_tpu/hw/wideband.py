@@ -33,15 +33,22 @@ class WidebandHardware(Hardware):
 
     def start_pump(self, port: int = 0, host: str = "127.0.0.1"):
         """Bind the ingest socket(s); returns the list of (host, port)
-        addresses senders should stream wideband frames to."""
+        addresses senders should stream wideband frames to.  ``port``
+        applies to the single-stream case only — multiple streams need
+        distinct sockets and always bind ephemeral ports."""
+        from quisk_tpu.io import native
         from quisk_tpu.io.pump import MultiPump, make_pump
 
         if self.n_streams == 1:
             self.pump = make_pump("wideband", n_rx=1, port=port, host=host)
             self.pump.start()
             return [self.pump.local_addr]
+        # native=False path falls back to UdpPump+WidebandStream per
+        # socket (review finding: the native default raised on hosts
+        # without the built library instead of degrading like make_pump)
         self.pump = MultiPump("wideband", n_pumps=self.n_streams,
-                              n_rx=1, host=host)
+                              n_rx=1, host=host,
+                              native=native.have_native_pump())
         self.pump.start()
         return list(self.pump.local_addrs)
 

@@ -42,6 +42,15 @@ def pfb_prototype(n_chan: int, taps_per_branch: int = 8,
     return h / h.sum()
 
 
+def _idft_ri(dft, n_chan: int, vr: jnp.ndarray, vi: jnp.ndarray):
+    """Cross-branch unnormalized inverse DFT on (re, im) planes: the MXU
+    matmul DFT when planned, else jnp.fft (shared by both filterbanks)."""
+    if dft is not None:
+        return dft.apply_ri(vr, vi)
+    y = jnp.fft.ifft(jax.lax.complex(vr, vi), axis=-1) * n_chan
+    return jnp.real(y), jnp.imag(y)
+
+
 @struct.dataclass
 class PFBChannelizer:
     """x [S, B] complex (B % K == 0) -> y [S, K, B/K] complex.
@@ -134,11 +143,7 @@ class PFBChannelizer:
         return np.fft.fftfreq(self.n_chan, 1.0 / fs)
 
     def idft_ri(self, vr: jnp.ndarray, vi: jnp.ndarray):
-        """Cross-branch unnormalized inverse DFT on (re, im) planes."""
-        if self.dft is not None:
-            return self.dft.apply_ri(vr, vi)
-        y = jnp.fft.ifft(jax.lax.complex(vr, vi), axis=-1) * self.n_chan
-        return jnp.real(y), jnp.imag(y)
+        return _idft_ri(self.dft, self.n_chan, vr, vi)
 
 
 @struct.dataclass
@@ -244,11 +249,7 @@ class OversampledPFB:
         return new_hist, vr, vi
 
     def idft_ri(self, vr: jnp.ndarray, vi: jnp.ndarray):
-        """Cross-branch unnormalized inverse DFT on (re, im) planes."""
-        if self.dft is not None:
-            return self.dft.apply_ri(vr, vi)
-        y = jnp.fft.ifft(jax.lax.complex(vr, vi), axis=-1) * self.n_chan
-        return jnp.real(y), jnp.imag(y)
+        return _idft_ri(self.dft, self.n_chan, vr, vi)
 
     def rotate_tm(self, yr: jnp.ndarray, yi: jnp.ndarray):
         """Commutator phase corrections on time-major (re, im) planes

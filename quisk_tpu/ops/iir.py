@@ -17,6 +17,13 @@ import jax.numpy as jnp
 from flax import struct
 
 
+def _combine(lhs, rhs):
+    """Associative combinator of first-order affine maps y -> a*y + b."""
+    a1, b1 = lhs
+    a2, b2 = rhs
+    return a2 * a1, a2 * b1 + b2
+
+
 def _first_order_scan(x: jnp.ndarray, a, b, y_prev: jnp.ndarray) -> jnp.ndarray:
     """All outputs of y[n] = a*y[n-1] + b*x[n] given y[-1] = y_prev.
 
@@ -38,12 +45,7 @@ def _first_order_scan(x: jnp.ndarray, a, b, y_prev: jnp.ndarray) -> jnp.ndarray:
     A = jnp.broadcast_to(jnp.asarray(a, x.dtype), x.shape)
     Bv = jnp.asarray(b, x.dtype) * x
 
-    def combine(lhs, rhs):
-        a1, b1 = lhs
-        a2, b2 = rhs
-        return a2 * a1, a2 * b1 + b2
-
-    A_cum, B_cum = jax.lax.associative_scan(combine, (A, Bv), axis=-1)
+    A_cum, B_cum = jax.lax.associative_scan(_combine, (A, Bv), axis=-1)
     return B_cum + A_cum * y_prev[:, None]
 
 
@@ -79,12 +81,7 @@ def _first_order_chunked(x: jnp.ndarray, a, b, y_prev: jnp.ndarray,
     aL = (mag ** L) * (sgn ** (L % 2) if L % 2 else 1.0)
     Aj = jnp.full((C, nch), aL, x.dtype)
 
-    def combine(lhs, rhs):
-        a1, b1 = lhs
-        a2, b2 = rhs
-        return a2 * a1, a2 * b1 + b2
-
-    Acum, Ecum = jax.lax.associative_scan(combine, (Aj, e), axis=-1)
+    Acum, Ecum = jax.lax.associative_scan(_combine, (Aj, e), axis=-1)
     s = Ecum + Acum * y_prev[:, None]                  # end state of chunk j
     c = jnp.concatenate([y_prev[:, None], s[:, :-1]], axis=-1)
     n1 = (n + 1).astype(x.dtype)
@@ -112,12 +109,7 @@ def _first_order_scan_tm(x: jnp.ndarray, a, b,
     A = jnp.broadcast_to(jnp.asarray(a, x.dtype), x.shape)
     Bv = jnp.asarray(b, x.dtype) * x
 
-    def combine(lhs, rhs):
-        a1, b1 = lhs
-        a2, b2 = rhs
-        return a2 * a1, a2 * b1 + b2
-
-    A_cum, B_cum = jax.lax.associative_scan(combine, (A, Bv), axis=-2)
+    A_cum, B_cum = jax.lax.associative_scan(_combine, (A, Bv), axis=-2)
     return B_cum + A_cum * y_prev[..., None, :]
 
 
@@ -146,12 +138,7 @@ def _first_order_chunked_tm(x: jnp.ndarray, a, b, y_prev: jnp.ndarray,
     aL = (mag ** L) * (sgn ** (L % 2) if L % 2 else 1.0)
     Aj = jnp.full((*lead, nch, C), aL, x.dtype)
 
-    def combine(lhs, rhs):
-        a1, b1 = lhs
-        a2, b2 = rhs
-        return a2 * a1, a2 * b1 + b2
-
-    Acum, Ecum = jax.lax.associative_scan(combine, (Aj, e), axis=-2)
+    Acum, Ecum = jax.lax.associative_scan(_combine, (Aj, e), axis=-2)
     s = Ecum + Acum * y_prev[..., None, :]              # chunk end states
     c = jnp.concatenate([y_prev[..., None, :], s[..., :-1, :]], axis=-2)
     n1 = (n + 1).astype(x.dtype)

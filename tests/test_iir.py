@@ -112,3 +112,33 @@ def test_onepole_dcblock_time_major_with_lead_dims():
             dcs_tm, d_tm = dc.apply_tm(dcs_tm, xb.T)
             assert np.allclose(np.asarray(d_tm).T, np.asarray(d_cm),
                                atol=1e-5)
+
+
+def test_biquad_matches_scipy_lfilter():
+    """Direct Biquad oracle test (the associative 2x2 matrix scan must
+    equal scipy's sequential DF evaluation): notch, peak and highpass
+    sections, streaming state across blocks.  (Added after a refactor
+    silently swapped the Biquad's matrix combinator for the scalar
+    first-order one — nothing had pinned the biquad math directly.)"""
+    from scipy import signal as sig
+
+    import jax.numpy as jnp
+    from quisk_tpu.ops.iir import Biquad
+
+    rng = np.random.default_rng(3)
+    fs = 48000.0
+    for bq, name in ((Biquad.notch(1000.0, fs, q=10.0), "notch"),
+                     (Biquad.peak(2000.0, fs, q=5.0, gain_db=6.0), "peak"),
+                     (Biquad.highpass(300.0, fs), "highpass")):
+        b = [float(bq.b0), float(bq.b1), float(bq.b2)]
+        a = [1.0, float(bq.a1), float(bq.a2)]
+        x = rng.standard_normal((2, 1024)).astype(np.float32)
+        want = sig.lfilter(b, a, x.astype(np.float64), axis=-1)
+        st = bq.init_state(2)
+        got = []
+        for k in range(4):
+            st, y = bq(st, jnp.asarray(x[:, k * 256:(k + 1) * 256]))
+            got.append(np.asarray(y))
+        got = np.concatenate(got, axis=-1)
+        err = np.max(np.abs(got - want))
+        assert err < 1e-3, (name, err)

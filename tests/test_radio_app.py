@@ -212,16 +212,19 @@ def test_radio_multiresolution_zoom_recapture():
     base_bin = cfg.sample_rate / radio.graph.sa.fft_size
     assert base_bin > 80.0                    # the tones share a base bin
     center = radio.vfo_hz + 40040.0
-    radio.set_zoom(64.0, center)
-    assert radio._zoomspec is not None
-    radio.run(blocks=6)
+    radio.set_zoom(64.0, center)          # staged (webui-thread-safe)
+    radio.run(blocks=6)                   # applied on the radio thread
+    assert radio._zoomcap is not None
+    zs = radio._zoomcap[0]
+    # the re-captured span must COVER the displayed window (review
+    # finding: decim > zoom would leave edge-clamped fabricated pixels)
+    assert zs.decim <= 64.0
     zrow = radio._zoom_trace()
     radio.close()
     assert zrow is not None
     lo, bin_hz, row = zrow
     # resolution must beat the base FFT
-    zres = cfg.sample_rate / (radio._zoomspec.decim
-                              * radio._zoomspec.an.fft_size)
+    zres = cfg.sample_rate / (zs.decim * zs.an.fft_size)
     assert zres < base_bin / 2
     # two distinct peaks at the right absolute frequencies
     r = row - row.min()
