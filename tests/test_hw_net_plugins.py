@@ -312,3 +312,36 @@ def test_wideband_hardware_pump_roundtrip():
     hw.close()
     assert blk is not None and blk.shape == (1, 8 * 8160)
     assert np.isfinite(blk).all()
+
+
+def test_wideband_hardware_striped_capture():
+    """hw 'wideband' striped mode: one capture over 2 sockets,
+    reassembled in order by the plugin."""
+    import numpy as np
+    import pytest
+
+    from quisk_tpu.hw import get_hardware
+    from quisk_tpu.io import native
+    from quisk_tpu.io.pump import blast_striped
+
+    if not native.have_native_pump():
+        pytest.skip("native ingest library not built")
+    lib = native._find_lib()
+    if not getattr(lib, "_has_striped", False):
+        pytest.skip("stale native library without striped support")
+    hw = get_hardware("wideband")(n_streams=2, striped=True,
+                                  sample_rate=20e6)
+    hw.open()
+    addrs = hw.start_pump()
+    assert len(addrs) == 2
+    blast_striped(addrs, n_packets=8, pace_pps=2000.0)
+    import time
+    deadline = time.time() + 2.0
+    blk = None
+    while blk is None and time.time() < deadline:
+        blk = hw.read_samples(8 * 8160)
+        time.sleep(0.02)
+    st = hw.pump.stats()
+    hw.close()
+    assert blk is not None and blk.shape == (1, 8 * 8160)
+    assert st["seq_errors"] == 0, st
