@@ -10,9 +10,31 @@ C, quisk.c:5334 — here rows are just arrays for any frontend to render).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from quisk_tpu.ops.spectrum import SpectrumAnalyzer, rebin_pixels
+
+
+def _analytics_device():
+    """Host-side analytics (spectrum services) run EAGERLY — on the
+    axon TPU runtime eager complex creation/transfer fails (CLAUDE.md),
+    and at display refresh rates the CPU is the right place anyway (the
+    reference computes its graph on the CPU too, quisk.c:5142).  Returns
+    the CPU device to pin inputs to, or None when the default backend is
+    already the CPU."""
+    import jax
+    if jax.default_backend() == "cpu":
+        return None
+    try:
+        return jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return None
+
+
+def _to_analytics(x, dev):
+    import jax
+    return x if dev is None else jax.device_put(np.asarray(x), dev)
 
 
 class GraphService:
@@ -24,7 +46,9 @@ class GraphService:
                  overlap: float = 0.0):
         self.sa = SpectrumAnalyzer.create(fft_size, block, window=window,
                                           overlap=overlap)
-        self.state = self.sa.init_state(channels)
+        self._dev = _analytics_device()
+        self.state = jax.tree.map(lambda l: _to_analytics(l, self._dev),
+                                  self.sa.init_state(channels))
         self.sample_rate = sample_rate
         self.pixels = pixels
         self.blocks_per_refresh = max(
@@ -36,7 +60,8 @@ class GraphService:
     def feed(self, iq_block: jnp.ndarray) -> np.ndarray | None:
         """Accumulate one [C, block] IQ block; returns a [C, pixels] dB trace
         when a refresh interval has elapsed, else None."""
-        self.state, _ = self.sa.accumulate(self.state, iq_block)
+        self.state, _ = self.sa.accumulate(
+            self.state, _to_analytics(iq_block, self._dev))
         self._since_refresh += 1
         if self._since_refresh < self.blocks_per_refresh:
             return None
@@ -317,7 +342,9 @@ class AudioFFTService:
     def __init__(self, fft_size: int, block: int, sample_rate: float,
                  channels: int = 1, refresh_hz: float = 7.0):
         self.sa = SpectrumAnalyzer.create(fft_size, block)
-        self.state = self.sa.init_state(channels)
+        self._dev = _analytics_device()
+        self.state = jax.tree.map(lambda l: _to_analytics(l, self._dev),
+                                  self.sa.init_state(channels))
         self.sample_rate = sample_rate
         self.blocks_per_refresh = max(
             1, int(round(sample_rate / block / refresh_hz)))
@@ -326,8 +353,10 @@ class AudioFFTService:
     def feed(self, audio_block) -> np.ndarray | None:
         """[C, block] real audio; returns [C, fft_size//2] dB (0..fs/2)
         each refresh interval, else None."""
-        x = jnp.asarray(audio_block).astype(jnp.complex64)
-        self.state, _ = self.sa.accumulate(self.state, x)
+        x = _to_analytics(np.asarray(audio_block, np.float32), self._dev)
+        self.state, _ = self.sa.accumulate(self.state,
+                                           jnp.asarray(x).astype(
+                                               jnp.complex64))
         self._since += 1
         if self._since < self.blocks_per_refresh:
             return None

@@ -903,8 +903,10 @@ class Radio:
         self._apply_zoom_req()               # radio-thread zoom changes
         cap = getattr(self, "_zoomcap", None)
         if cap is not None:
+            from quisk_tpu.app.graph import _to_analytics
             zs, zst = cap
-            zst, _ = zs.accumulate(zst, x[0:1])
+            zst, _ = zs.accumulate(
+                zst, _to_analytics(x[0:1], self.graph._dev))
             self._zoomcap = (zs, zst)
         if trace is not None:
             self.waterfall.add_row(trace[0])
