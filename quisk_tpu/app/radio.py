@@ -905,8 +905,14 @@ class Radio:
         if cap is not None:
             from quisk_tpu.app.graph import _to_analytics
             zs, zst = cap
-            zst, _ = zs.accumulate(
-                zst, _to_analytics(x[0:1], self.graph._dev))
+            # the whole eager re-capture runs under a CPU default so
+            # call-time constants (iotas, phasors) are created there too
+            # — mixing CPU-committed state with accelerator-default
+            # scratch made jax pick the axon device and hit its
+            # no-eager-complex wall (found by tpu_zoom_smoke.py)
+            with self._analytics_ctx():
+                zst, _ = zs.accumulate(
+                    zst, _to_analytics(x[0:1], self.graph._dev))
             self._zoomcap = (zs, zst)
         if trace is not None:
             self.waterfall.add_row(trace[0])
@@ -1385,12 +1391,29 @@ class Radio:
             return
         decim = max(cands)
         center_bb = self.ui_zoom_center - self.vfo_hz   # baseband offset
-        zs = ZoomSpectrum.create(fft_z, block, center_hz=center_bb,
-                                 sample_rate=fs, decim=decim, overlap=0.5)
-        # fresh state on every engage/pan/retune: the decimator history
-        # and running average hold the OLD passband — blending them into
-        # the new view would show wrong data under the new labels
-        self._zoomcap = (zs, zs.init_state(1))
+        # build the capture's constants/state ON the analytics device:
+        # the eager zoom path must stay off an accelerator default (the
+        # axon TPU rejects eager complex, and mixed-device eager ops
+        # error) — same reasoning as app/graph._analytics_device
+        with self._analytics_ctx():
+            zs = ZoomSpectrum.create(fft_z, block, center_hz=center_bb,
+                                     sample_rate=fs, decim=decim,
+                                     overlap=0.5)
+            # fresh state on every engage/pan/retune: the decimator
+            # history and running average hold the OLD passband —
+            # blending them into the new view would show wrong data
+            # under the new labels
+            self._zoomcap = (zs, zs.init_state(1))
+
+    def _analytics_ctx(self):
+        """jax.default_device(cpu) when the default backend is an
+        accelerator (see app/graph._analytics_device), else a no-op."""
+        import contextlib
+
+        import jax as _jax
+        dev = self.graph._dev
+        return (_jax.default_device(dev) if dev is not None
+                else contextlib.nullcontext())
 
     def _zoom_trace(self):
         """(start_hz, bin_hz, row[pixels]) of the re-captured zoom view,
@@ -1402,7 +1425,8 @@ class Radio:
         if float(st[2][1]) < 1.0:
             return None
         fs = self.cfg.sample_rate
-        db = np.asarray(zs.graph_db(st))[0]
+        with self._analytics_ctx():
+            db = np.asarray(zs.graph_db(st))[0]
         f = zs.freqs(fs, center_hz=self.ui_zoom_center)   # absolute Hz
         span = fs / self.ui_zoom
         lo = self.ui_zoom_center - 0.5 * span
